@@ -1,0 +1,286 @@
+"""WS-ResNet backbone (flax.linen, NHWC).
+
+TPU-native re-implementation of the reference WS-ResNet
+(projects/WSL/wsl/modeling/backbone/resnet_ws.py), the backbone family of
+DRN-WSOD: residual blocks keep stride 1 and downsampling happens in trailing
+2x2 max-pools instead ("plain downsampling" of the paper). Structure mirrored
+from the reference builder (resnet_ws.py:616-703):
+
+  * 3-conv stem: 3x3/s2 -> 3x3 -> 3x3, then 2x2/s2 max-pool  (stride 4)
+  * res2: last block carries a 2x2/s2 trailing pool           (stride 8)
+  * res3: trailing pool, stride 2 iff RES5_DILATION == 1
+  * res4, res5: stride 1; dilation = RES5_DILATION on both
+  * depths 18/34 use BasicBlock, 50/101/152 use BottleneckBlock
+
+Total output stride: 8 when RES5_DILATION=2 (DC5), else 16. Layout is NHWC
+(TPU-native; the reference is NCHW) and all norms are frozen batch-norm
+applied as an explicit affine, matching detection-time behaviour
+(detectron2/layers/batch_norm.py:14-125).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NUM_BLOCKS_PER_STAGE = {
+    18: [2, 2, 2, 2],
+    34: [3, 4, 6, 3],
+    50: [3, 4, 6, 3],
+    101: [3, 4, 23, 3],
+    152: [3, 8, 36, 3],
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine, stored torch-style
+    (weight/bias/running_mean/running_var) for checkpoint-import parity."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight / jnp.sqrt(var + self.eps)
+        # Fold into a single scale/shift so XLA fuses it into the conv epilogue.
+        return x * scale + (bias - mean * scale)
+
+
+def _conv(x, features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(dilation * (kernel // 2),) * 2] * 2,
+        kernel_dilation=(dilation, dilation),
+        use_bias=False,
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+def _maxpool2(x, stride):
+    return nn.max_pool(x, window_shape=(2, 2), strides=(stride, stride),
+                       padding="VALID")
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs; optional trailing max-pool (resnet_ws.py:32-112)."""
+
+    out_channels: int
+    dilation: int = 1
+    has_pool: bool = False
+    pool_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        out = _conv(x, self.out_channels, 3, dilation=self.dilation,
+                    name="conv1", dtype=self.dtype)
+        out = FrozenBatchNorm(self.out_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+        out = _conv(out, self.out_channels, 3, dilation=self.dilation,
+                    name="conv2", dtype=self.dtype)
+        out = FrozenBatchNorm(self.out_channels, name="conv2_norm")(out)
+
+        if in_channels != self.out_channels:
+            sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
+            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+
+        out = nn.relu(out + sc)
+        if self.has_pool:
+            out = _maxpool2(out, self.pool_stride)
+        return out
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3(dilated, grouped) -> 1x1 bottleneck, stride-free, optional
+    trailing max-pool (resnet_ws.py:113-240)."""
+
+    out_channels: int
+    bottleneck_channels: int
+    dilation: int = 1
+    num_groups: int = 1
+    has_pool: bool = False
+    pool_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        out = _conv(x, self.bottleneck_channels, 1, name="conv1", dtype=self.dtype)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            features=self.bottleneck_channels,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding=[(self.dilation,) * 2] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.num_groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
+        out = nn.relu(out)
+
+        out = _conv(out, self.out_channels, 1, name="conv3", dtype=self.dtype)
+        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
+
+        if in_channels != self.out_channels:
+            sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
+            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+
+        out = nn.relu(out + sc)
+        if self.has_pool:
+            out = _maxpool2(out, self.pool_stride)
+        return out
+
+
+class BasicStem(nn.Module):
+    """3-conv stem + 2x2/s2 pool (resnet_ws.py:357-415). Output stride 4."""
+
+    out_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, stride in enumerate((2, 1, 1), start=1):
+            x = _conv(x, self.out_channels, 3, stride=stride,
+                      name=f"conv{i}", dtype=self.dtype)
+            x = FrozenBatchNorm(self.out_channels, name=f"conv{i}_norm")(x)
+            x = nn.relu(x)
+        return _maxpool2(x, 2)
+
+
+class ResNetWS(nn.Module):
+    """The WS-ResNet tower.
+
+    Returns a dict of requested stage outputs ({"res5": (B, H/8, W/8, C)} for
+    the DC5 WSOD configs).
+    """
+
+    depth: int = 50
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    res5_dilation: int = 2
+    out_features: Sequence[str] = ("res5",)
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def stage_specs(depth: int, res5_dilation: int,
+                    res2_out_channels: int, bottleneck_channels: int,
+                    max_stage: int = 5) -> List[dict]:
+        """Per-stage structural parameters, mirroring resnet_ws.py:671-678."""
+        num_blocks = NUM_BLOCKS_PER_STAGE[depth]
+        specs = []
+        out_channels = res2_out_channels
+        bc = bottleneck_channels
+        for idx, stage_idx in enumerate(range(2, max_stage + 1)):
+            dilation = res5_dilation if stage_idx in (4, 5) else 1
+            first_stride = 2 if idx == 0 or (stage_idx == 3 and res5_dilation == 1) else 1
+            has_pool = stage_idx in (2, 3)
+            specs.append(dict(
+                stage=f"res{stage_idx}",
+                num_blocks=num_blocks[idx],
+                dilation=dilation,
+                pool_stride=first_stride,
+                has_pool=has_pool,
+                out_channels=out_channels,
+                bottleneck_channels=bc,
+            ))
+            out_channels *= 2
+            bc *= 2
+        return specs
+
+    @property
+    def feature_strides(self) -> Dict[str, int]:
+        stride = 4
+        strides = {}
+        for spec in self.stage_specs(self.depth, self.res5_dilation,
+                                     self.res2_out_channels,
+                                     self.num_groups * self.width_per_group):
+            if spec["has_pool"]:
+                stride *= spec["pool_stride"]
+            strides[spec["stage"]] = stride
+        return strides
+
+    @property
+    def feature_channels(self) -> Dict[str, int]:
+        basic = self.depth in (18, 34)
+        chans = {}
+        for spec in self.stage_specs(self.depth, self.res5_dilation,
+                                     self.res2_out_channels,
+                                     self.num_groups * self.width_per_group):
+            chans[spec["stage"]] = spec["out_channels"]
+        return chans
+
+    @nn.compact
+    def __call__(self, x):
+        basic = self.depth in (18, 34)
+        if basic:
+            assert self.res2_out_channels == 64, "R18/R34 need RES2_OUT_CHANNELS=64"
+
+        x = BasicStem(self.stem_out_channels, dtype=self.dtype, name="stem")(x)
+
+        outputs = {}
+        max_stage = max(int(f[-1]) for f in self.out_features)
+        specs = self.stage_specs(self.depth, self.res5_dilation,
+                                 self.res2_out_channels,
+                                 self.num_groups * self.width_per_group,
+                                 max_stage=max_stage)
+        for spec in specs:
+            for b in range(spec["num_blocks"]):
+                last = b == spec["num_blocks"] - 1
+                kwargs = dict(
+                    out_channels=spec["out_channels"],
+                    dilation=spec["dilation"],
+                    has_pool=spec["has_pool"] and last,
+                    pool_stride=spec["pool_stride"],
+                    dtype=self.dtype,
+                    name=f"{spec['stage']}_{b}",
+                )
+                if basic:
+                    x = BasicBlock(**kwargs)(x)
+                else:
+                    x = BottleneckBlock(
+                        bottleneck_channels=spec["bottleneck_channels"],
+                        num_groups=self.num_groups,
+                        **kwargs,
+                    )(x)
+            if spec["stage"] in self.out_features:
+                outputs[spec["stage"]] = x
+        return outputs
+
+
+def build_ws_resnet_backbone(cfg) -> Tuple[ResNetWS, Dict[str, int], Dict[str, int]]:
+    """Config-driven builder (parity with resnet_ws.py:616).
+
+    Returns (module, feature_strides, feature_channels)."""
+    r = cfg.MODEL.RESNETS
+    model = ResNetWS(
+        depth=r.DEPTH,
+        num_groups=r.NUM_GROUPS,
+        width_per_group=r.WIDTH_PER_GROUP,
+        stem_out_channels=r.STEM_OUT_CHANNELS,
+        res2_out_channels=r.RES2_OUT_CHANNELS,
+        res5_dilation=r.RES5_DILATION,
+        out_features=tuple(r.OUT_FEATURES),
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+    return model, model.feature_strides, model.feature_channels

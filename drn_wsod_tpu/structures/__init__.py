@@ -1,0 +1,19 @@
+from .boxes import (
+    BoxMode,
+    area,
+    clip,
+    nonempty,
+    pairwise_intersection,
+    pairwise_iou,
+    pairwise_iou_wsl,
+    unique_boxes_mask,
+    get_deltas,
+    apply_deltas,
+)
+from .batch import WSODBatch, Detections
+
+__all__ = [
+    "BoxMode", "area", "clip", "nonempty", "pairwise_intersection",
+    "pairwise_iou", "pairwise_iou_wsl", "unique_boxes_mask",
+    "get_deltas", "apply_deltas", "WSODBatch", "Detections",
+]

@@ -1,0 +1,71 @@
+import os
+
+import pytest
+
+from drn_wsod_tpu.config import CfgNode, get_cfg
+
+
+def test_defaults_tree():
+    cfg = get_cfg()
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 20
+    assert cfg.WSL.REFINE_NUM == 3
+    assert cfg.MODEL.RESNETS.RES5_DILATION == 2
+
+
+def test_attribute_set_get():
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 80
+
+
+def test_freeze():
+    cfg = get_cfg()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    cfg.defrost()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+
+
+def test_merge_from_list():
+    cfg = get_cfg()
+    cfg.merge_from_list(["MODEL.ROI_HEADS.NUM_CLASSES", "80",
+                         "SOLVER.BASE_LR", "0.02",
+                         "DATASETS.TRAIN", "('voc_2007_trainval',)"])
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 80
+    assert cfg.SOLVER.BASE_LR == 0.02
+    assert cfg.DATASETS.TRAIN == ("voc_2007_trainval",)
+
+
+def test_merge_from_list_bad_key():
+    cfg = get_cfg()
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["MODEL.NO_SUCH_KEY", "1"])
+
+
+def test_merge_from_file_with_base(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("MODEL:\n  ROI_HEADS:\n    NUM_CLASSES: 80\nSOLVER:\n  BASE_LR: 0.5\n")
+    child = tmp_path / "child.yaml"
+    child.write_text("_BASE_: base.yaml\nSOLVER:\n  BASE_LR: 0.25\n")
+    cfg = get_cfg()
+    cfg.merge_from_file(str(child))
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 80
+    assert cfg.SOLVER.BASE_LR == 0.25
+
+
+def test_tuple_coercion_from_yaml_list(tmp_path):
+    f = tmp_path / "c.yaml"
+    f.write_text("DATASETS:\n  TRAIN: ['a', 'b']\n")
+    cfg = get_cfg()
+    cfg.merge_from_file(str(f))
+    assert cfg.DATASETS.TRAIN == ("a", "b")
+
+
+def test_clone_and_dump_roundtrip():
+    cfg = get_cfg()
+    c2 = cfg.clone()
+    c2.SOLVER.BASE_LR = 99.0
+    assert cfg.SOLVER.BASE_LR != 99.0
+    text = cfg.dump()
+    assert "BASE_LR" in text
