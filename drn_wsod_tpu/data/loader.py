@@ -1,0 +1,183 @@
+"""Batch loaders.
+
+Replaces the reference's torch DataLoader pipeline (detectron2/data/build.py:
+249-410, common.py): an infinite shuffled training iterator with per-bucket
+batch grouping (the static-shape analogue of AspectRatioGroupedDataset,
+common.py:115-150) and a sequential sharded inference iterator, with a
+background prefetch thread overlapping host decode with device compute.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures import WSODBatch
+from .catalog import DatasetCatalog
+from .proposals import load_proposals_into_dataset
+
+logger = logging.getLogger(__name__)
+
+
+def get_detection_dataset_dicts(names: Sequence[str],
+                                proposal_files: Sequence[str] = (),
+                                filter_empty: bool = True) -> List[dict]:
+    """Load + concatenate datasets, attaching per-dataset proposal files
+    (reference build.py:207-247)."""
+    if isinstance(names, str):
+        names = [names]
+    all_dicts = []
+    for i, name in enumerate(names):
+        dicts = DatasetCatalog.get(name)
+        assert len(dicts), f"Dataset '{name}' is empty!"
+        if proposal_files:
+            dicts = load_proposals_into_dataset(dicts, proposal_files[i])
+        all_dicts.append(dicts)
+    records = list(itertools.chain.from_iterable(all_dicts))
+    if filter_empty:
+        records = [r for r in records if r.get("annotations")]
+    return records
+
+
+def _collate(samples: List[Dict[str, np.ndarray]]) -> WSODBatch:
+    stack = {k: np.stack([s[k] for s in samples])
+             for k in samples[0] if not k.startswith("_")}
+    return WSODBatch(**{k: jnp.asarray(v) for k, v in stack.items()})
+
+
+class TrainLoader:
+    """Infinite shuffled loader with bucket-grouped batches."""
+
+    def __init__(self, records: List[dict], mapper: Callable,
+                 batch_size: int, seed: int = 0, prefetch: int = 2):
+        assert len(records) > 0
+        self._records = records
+        self._mapper = mapper
+        self._batch_size = batch_size
+        self._seed = seed
+        self._prefetch = prefetch
+
+    def _sample_iter(self):
+        rng = np.random.RandomState(self._seed)
+        epoch = 0
+        while True:
+            order = rng.permutation(len(self._records))
+            for idx in order:
+                sample = self._mapper(self._records[idx], rng,
+                                      dataset_index=int(idx))
+                if sample is not None:
+                    yield sample
+            epoch += 1
+
+    def _batch_iter(self):
+        buffers: Dict[int, list] = {}
+        for sample in self._sample_iter():
+            b = buffers.setdefault(sample["_bucket"], [])
+            b.append(sample)
+            if len(b) == self._batch_size:
+                yield _collate(b)
+                buffers[sample["_bucket"]] = []
+
+    def __iter__(self) -> Iterator[WSODBatch]:
+        if self._prefetch <= 0:
+            return self._batch_iter()
+        return _prefetch_iter(self._batch_iter(), self._prefetch)
+
+
+class TestLoader:
+    """Sequential single-pass loader. Batches are filled in dataset order and
+    padded to a common bucket; the final partial batch is padded with copies
+    of the last sample (masked out downstream via image_id bookkeeping)."""
+
+    def __init__(self, records: List[dict], mapper: Callable,
+                 batch_size: int = 1, prefetch: int = 2):
+        self._records = records
+        self._mapper = mapper
+        self._batch_size = batch_size
+        self._prefetch = prefetch
+
+    def __len__(self):
+        return -(-len(self._records) // self._batch_size)
+
+    def _batch_iter(self):
+        rng = np.random.RandomState(0)  # test-time augs are deterministic
+        bs = self._batch_size
+        for i in range(0, len(self._records), bs):
+            chunk = self._records[i:i + bs]
+            samples = [self._mapper(r, rng, dataset_index=i + j)
+                       for j, r in enumerate(chunk)]
+            n_real = len(samples)
+            while len(samples) < bs:
+                samples.append(samples[-1])
+            # re-pad all images in the batch to the max bucket
+            bucket = max(s["_bucket"] for s in samples)
+            for s in samples:
+                if s["_bucket"] != bucket:
+                    canvas = np.zeros((bucket, bucket, 3), dtype=np.float32)
+                    img = s["image"]
+                    canvas[:img.shape[0], :img.shape[1]] = img
+                    s["image"] = canvas
+                    s["_bucket"] = bucket
+            batch = _collate(samples)
+            yield batch, n_real
+
+    def __iter__(self):
+        if self._prefetch <= 0:
+            return self._batch_iter()
+        return _prefetch_iter(self._batch_iter(), self._prefetch)
+
+
+def _prefetch_iter(it: Iterator, depth: int) -> Iterator:
+    """Background-thread prefetch (the host-side overlap the reference gets
+    from DataLoader workers; this container has few cores, so one decoder
+    thread + device-compute overlap is the right shape)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            q.put(("__error__", e))
+        q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
+
+
+def build_detection_train_loader(cfg, mapper) -> TrainLoader:
+    records = get_detection_dataset_dicts(
+        cfg.DATASETS.TRAIN, cfg.DATASETS.PROPOSAL_FILES_TRAIN
+        if cfg.MODEL.LOAD_PROPOSALS else (),
+        filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
+    return TrainLoader(records, mapper, cfg.SOLVER.IMS_PER_BATCH,
+                       seed=max(cfg.SEED, 0),
+                       prefetch=cfg.DATALOADER.PREFETCH)
+
+
+def build_detection_test_loader(cfg, dataset_name: str, mapper,
+                                batch_size: int = 1) -> TestLoader:
+    names = list(cfg.DATASETS.TEST)
+    proposal_files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+    if dataset_name in names and cfg.MODEL.LOAD_PROPOSALS and proposal_files:
+        pf = [proposal_files[names.index(dataset_name)]]
+    else:
+        pf = ()
+    records = get_detection_dataset_dicts([dataset_name], pf,
+                                          filter_empty=False)
+    return TestLoader(records, mapper, batch_size,
+                      prefetch=cfg.DATALOADER.PREFETCH)

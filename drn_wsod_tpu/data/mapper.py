@@ -1,0 +1,106 @@
+"""Dataset record -> fixed-shape training sample.
+
+Equivalent of the reference DatasetMapper
+(detectron2/data/dataset_mapper.py:113-185) with the TPU-specific final step:
+images are padded into one of a small set of square size buckets and
+proposals into a fixed slot count, so each (bucket, P) pair compiles exactly
+once (reference pads only to size_divisibility and recompiles nothing because
+GPUs tolerate dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+from .datasets.voc import image_level_labels
+from .proposals import transform_proposals
+
+logger = logging.getLogger(__name__)
+
+
+def read_image(path: str, fmt: str = "BGR") -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    arr = np.asarray(img)
+    if fmt == "BGR":
+        arr = arr[:, :, ::-1]
+    return np.ascontiguousarray(arr)
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[int],
+                divisibility: int = 32) -> int:
+    """Smallest square bucket covering (h, w); falls back to round-up."""
+    m = max(h, w)
+    for b in sorted(buckets):
+        if b >= m:
+            return b
+    return int(np.ceil(m / divisibility) * divisibility)
+
+
+class DatasetMapper:
+    def __init__(self, cfg, is_train: bool, num_classes: Optional[int] = None):
+        self.is_train = is_train
+        self.num_classes = num_classes or cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        self.fmt = cfg.INPUT.FORMAT
+        self.buckets = tuple(cfg.INPUT.BUCKETS)
+        self.divisibility = cfg.INPUT.SIZE_DIVISIBILITY
+        self.num_proposals = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+        self.min_box_size = cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE
+        self.topk = (cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN if is_train
+                     else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST)
+
+        augs: List[T.Augmentation] = []
+        if is_train:
+            if cfg.INPUT.CROP.ENABLED:
+                augs.append(T.RandomCrop(cfg.INPUT.CROP.TYPE,
+                                         cfg.INPUT.CROP.SIZE))
+            augs.append(T.ResizeShortestEdge(
+                tuple(cfg.INPUT.MIN_SIZE_TRAIN), cfg.INPUT.MAX_SIZE_TRAIN,
+                cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING))
+            if cfg.INPUT.RANDOM_FLIP != "none":
+                augs.append(T.RandomFlip(0.5))
+        else:
+            augs.append(T.ResizeShortestEdge(
+                cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST))
+        self.augmentations = augs
+
+    def __call__(self, record: Dict, rng: np.random.RandomState,
+                 dataset_index: int = 0) -> Dict[str, np.ndarray]:
+        image = read_image(record["file_name"], self.fmt)
+        orig_h, orig_w = image.shape[:2]
+
+        image, tfms = T.apply_augmentations(self.augmentations, image, rng)
+        h, w = image.shape[:2]
+
+        boxes, logits = transform_proposals(
+            record, (h, w), tfms, min_box_size=self.min_box_size,
+            topk=self.topk)
+
+        P = self.num_proposals
+        n = min(len(boxes), P)
+        prop = np.zeros((P, 4), dtype=np.float32)
+        obj = np.zeros((P,), dtype=np.float32)
+        mask = np.zeros((P,), dtype=bool)
+        prop[:n] = boxes[:n]
+        obj[:n] = logits[:n]
+        mask[:n] = True
+
+        bucket = pick_bucket(h, w, self.buckets, self.divisibility)
+        canvas = np.zeros((bucket, bucket, 3), dtype=np.float32)
+        canvas[:h, :w] = image.astype(np.float32)
+
+        return {
+            "image": canvas,
+            "image_hw": np.asarray([h, w], dtype=np.int32),
+            "orig_hw": np.asarray([orig_h, orig_w], dtype=np.int32),
+            "proposals": prop,
+            "proposal_mask": mask,
+            "objectness": obj,
+            "labels": image_level_labels(record, self.num_classes),
+            "image_id": np.asarray(dataset_index, dtype=np.int32),
+            "_bucket": bucket,
+        }

@@ -1,0 +1,124 @@
+"""Trainer hooks.
+
+The 4-phase hook protocol of the reference
+(detectron2/engine/train_loop.py:26-81, engine/hooks.py): before_train /
+before_step / after_step / after_train, with IterationTimer, PeriodicWriter,
+PeriodicCheckpointer, LRScheduler (metric logging only — the schedule itself
+is functional, inside the optimizer) and EvalHook.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Optional
+
+from .events import get_event_storage
+
+logger = logging.getLogger(__name__)
+
+
+class HookBase:
+    trainer = None  # set by Trainer.register_hooks
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+
+class IterationTimer(HookBase):
+    """Tracks seconds per iteration, excluding warmup
+    (reference hooks.py:75-144)."""
+
+    def __init__(self, warmup_iter: int = 3):
+        self._warmup_iter = warmup_iter
+        self._start_time = time.perf_counter()
+        self._step_start = None
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+
+    def after_train(self):
+        total = time.perf_counter() - self._start_time
+        logger.info(f"Total training time: {total:.2f}s")
+
+    def before_step(self):
+        self._step_start = time.perf_counter()
+
+    def after_step(self):
+        storage = get_event_storage()
+        it = self.trainer.iter - self.trainer.start_iter
+        if it >= self._warmup_iter:
+            storage.put_scalar("time", time.perf_counter() - self._step_start,
+                               smoothing_hint=True)
+
+
+class PeriodicWriter(HookBase):
+    def __init__(self, writers, period: int = 20):
+        self._writers = writers
+        self._period = period
+
+    def after_step(self):
+        if (self.trainer.iter + 1) % self._period == 0 or (
+                self.trainer.iter == self.trainer.max_iter - 1):
+            for w in self._writers:
+                w.write(get_event_storage())
+
+    def after_train(self):
+        for w in self._writers:
+            w.write(get_event_storage())
+            w.close()
+
+
+class PeriodicCheckpointer(HookBase):
+    def __init__(self, checkpointer, period: int):
+        self._checkpointer = checkpointer
+        self._period = period
+
+    def after_step(self):
+        it = self.trainer.iter
+        if (it + 1) % self._period == 0 or it == self.trainer.max_iter - 1:
+            self._checkpointer.save(self.trainer.state, it + 1)
+
+
+class EvalHook(HookBase):
+    """Runs ``eval_fn`` every ``period`` iters and at the end
+    (reference hooks.py:300-356)."""
+
+    def __init__(self, period: int, eval_fn: Callable[[], Optional[dict]]):
+        self._period = period
+        self._fn = eval_fn
+
+    def _do_eval(self):
+        results = self._fn()
+        if results:
+            storage = get_event_storage()
+            flat = {}
+
+            def _flatten(d, prefix=""):
+                for k, v in d.items():
+                    key = f"{prefix}{k}"
+                    if isinstance(v, dict):
+                        _flatten(v, key + "/")
+                    elif isinstance(v, (int, float)):
+                        flat[key] = float(v)
+
+            _flatten(results)
+            storage.put_scalars(smoothing_hint=False, **flat)
+
+    def after_step(self):
+        if self._period > 0 and (self.trainer.iter + 1) % self._period == 0 \
+                and self.trainer.iter != self.trainer.max_iter - 1:
+            self._do_eval()
+
+    def after_train(self):
+        if self.trainer.iter >= self.trainer.max_iter - 1:
+            self._do_eval()

@@ -1,0 +1,151 @@
+"""Functional train loop.
+
+Replaces the reference's object-oriented trainer stack
+(detectron2/engine/train_loop.py:84-289, projects/WSL/tools/train_net.py:65-117)
+with a jit-compiled pure train step over an explicit TrainState, plus a thin
+host loop that runs hooks and drains metrics.
+
+TPU specifics:
+  * the whole step (fwd, bwd, optimizer) is one XLA program; state buffers
+    are donated, so parameters update in-place in HBM;
+  * metrics stay on device and are only fetched when a writer fires, so the
+    loop never blocks on a host sync per step;
+  * gradient accumulation (WSL.ITER_SIZE) is inside the optimizer
+    (optax.MultiSteps), not the host loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import weakref
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from .events import EventStorage
+from .hooks import HookBase
+
+logger = logging.getLogger(__name__)
+
+
+@chex.dataclass
+class TrainState:
+    step: jnp.ndarray        # int32 scalar
+    params: Any              # flax variables ({"params": ...})
+    opt_state: Any
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=variables,
+                      opt_state=tx.init(variables))
+
+
+def make_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = None
+                    ) -> Callable:
+    """Build the pure (state, batch, rng) -> (state, metrics) step."""
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(variables):
+            losses = model.apply(variables, batch, train=True,
+                                 rngs={"dropout": step_rng})
+            if loss_weights:
+                losses = {k: v * loss_weights.get(k, 1.0)
+                          for k, v in losses.items()}
+            return sum(jax.tree.leaves(losses)), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Hook-driven loop over a jitted train step (reference TrainerBase +
+    SimpleTrainer, train_loop.py:84-250)."""
+
+    def __init__(self, step_fn: Callable, state: TrainState,
+                 data_iter: Iterator, rng: jax.Array,
+                 lr_schedule: Optional[Callable] = None,
+                 log_period: int = 20):
+        self._step_fn = step_fn
+        self.state = state
+        self._data_iter = data_iter
+        self._rng = rng
+        self._lr_schedule = lr_schedule
+        self._log_period = log_period
+        self._hooks: List[HookBase] = []
+        self.iter = 0
+        self.start_iter = 0
+        self.max_iter = 0
+        self.storage: Optional[EventStorage] = None
+        self._pending_metrics = None
+        self._pending_data_time = 0.0
+
+    def register_hooks(self, hooks: List[HookBase]):
+        for h in hooks:
+            h.trainer = weakref.proxy(self)
+        self._hooks.extend(hooks)
+
+    def train(self, start_iter: int, max_iter: int):
+        self.iter = self.start_iter = start_iter
+        self.max_iter = max_iter
+        logger.info(f"Starting training from iteration {start_iter}")
+        with EventStorage(start_iter) as self.storage:
+            try:
+                for h in self._hooks:
+                    h.before_train()
+                for self.iter in range(start_iter, max_iter):
+                    for h in self._hooks:
+                        h.before_step()
+                    self.run_step()
+                    for h in self._hooks:
+                        h.after_step()
+                    self.storage.step()
+                # reference semantics: self.iter == max_iter - 1 at the end
+            finally:
+                for h in self._hooks:
+                    h.after_train()
+
+    def run_step(self):
+        t0 = time.perf_counter()
+        batch = next(self._data_iter)
+        data_time = time.perf_counter() - t0
+
+        self.state, metrics = self._step_fn(self.state, batch, self._rng)
+        self._pending_metrics = metrics
+        self._pending_data_time = data_time
+
+        if (self.iter + 1) % self._log_period == 0 or \
+                self.iter == self.max_iter - 1:
+            self._flush_metrics()
+
+    def _flush_metrics(self):
+        if self._pending_metrics is None:
+            return
+        host = jax.device_get(self._pending_metrics)
+        bad = {k: float(v) for k, v in host.items()
+               if not jnp.isfinite(jnp.asarray(v)).all()}
+        if bad:
+            # NaN guard (reference _detect_anomaly, train_loop.py:252-258).
+            raise FloatingPointError(
+                f"Loss became non-finite at iteration {self.iter}: {bad}")
+        self.storage.put_scalars(
+            **{k: float(v) for k, v in host.items()}, smoothing_hint=True)
+        self.storage.put_scalar("data_time", self._pending_data_time,
+                                smoothing_hint=True)
+        if self._lr_schedule is not None:
+            self.storage.put_scalar(
+                "lr", float(self._lr_schedule(self.iter)), smoothing_hint=False)

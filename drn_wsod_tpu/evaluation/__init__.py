@@ -1,0 +1,8 @@
+from .evaluator import inference_on_dataset, make_detect_fn
+from .voc_eval import (PascalVOCDetectionEvaluator, voc_ap, voc_eval_class,
+                       voc_eval_corloc_class)
+
+__all__ = [
+    "inference_on_dataset", "make_detect_fn", "PascalVOCDetectionEvaluator",
+    "voc_ap", "voc_eval_class", "voc_eval_corloc_class",
+]

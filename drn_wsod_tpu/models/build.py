@@ -1,0 +1,98 @@
+"""Model builder + registries.
+
+Equivalent of the reference registries/builder
+(detectron2/modeling/meta_arch/build.py, detectron2/utils/registry.py):
+string-keyed component registries so YAML configs name backbones and heads.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from ..config import CfgNode
+from .backbones import build_vgg_backbone, build_ws_resnet_backbone
+from .meta_arch import GeneralizedRCNNWSL
+
+
+class Registry:
+    """Minimal string -> callable registry (reference detectron2/utils/
+    registry.py)."""
+
+    def __init__(self, name: str):
+        self._name = name
+        self._map: Dict[str, Callable] = {}
+
+    def register(self, name: str | None = None):
+        def deco(fn, key=name):
+            key = key or fn.__name__
+            assert key not in self._map, f"{key} already in {self._name}"
+            self._map[key] = fn
+            return fn
+        return deco
+
+    def get(self, name: str) -> Callable:
+        if name not in self._map:
+            raise KeyError(f"{name} not found in {self._name} registry; "
+                           f"available: {sorted(self._map)}")
+        return self._map[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._map
+
+
+BACKBONE_REGISTRY = Registry("BACKBONE")
+META_ARCH_REGISTRY = Registry("META_ARCH")
+
+BACKBONE_REGISTRY.register("build_ws_resnet_backbone")(build_ws_resnet_backbone)
+BACKBONE_REGISTRY.register("build_vgg_backbone")(build_vgg_backbone)
+
+_HEAD_TYPES = {
+    "WSDDNROIHeads": "WSDDN",
+    "OICRROIHeads": "OICR",
+    "PCLROIHeads": "PCL",
+}
+
+
+@META_ARCH_REGISTRY.register("GeneralizedRCNNWSL")
+def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
+    backbone, strides, channels = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
+    feature_name = cfg.MODEL.ROI_HEADS.IN_FEATURES[0]
+    head_name = cfg.MODEL.ROI_HEADS.NAME
+    if head_name not in _HEAD_TYPES:
+        raise KeyError(f"Unknown ROI head {head_name}")
+
+    refine_reg = tuple(cfg.WSL.REFINE_REG)
+    refine_k = cfg.WSL.REFINE_NUM
+    if len(refine_reg) < refine_k:
+        refine_reg = refine_reg + (False,) * (refine_k - len(refine_reg))
+
+    return GeneralizedRCNNWSL(
+        backbone=backbone,
+        feature_name=feature_name,
+        feature_stride=strides[feature_name],
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        head_type=_HEAD_TYPES[head_name],
+        refine_k=refine_k,
+        refine_reg=refine_reg[:refine_k],
+        pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2,
+        dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
+        dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
+        mean_loss=cfg.WSL.MEAN_LOSS,
+        use_objectness=cfg.WSL.USE_OBN,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+
+
+def build_model(cfg: CfgNode) -> GeneralizedRCNNWSL:
+    """Build the configured meta-architecture (reference build_model,
+    detectron2/modeling/meta_arch/build.py:15)."""
+    return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)

@@ -1,0 +1,189 @@
+"""GeneralizedRCNNWSL: the WSOD meta-architecture.
+
+TPU-native equivalent of the reference meta-arch + ROI heads stack
+(projects/WSL/wsl/modeling/meta_arch/rcnn.py:23-249 and
+wsl/modeling/roi_heads/roi_heads_{wsddn,oicr}.py): backbone (no RPN —
+precomputed proposals come with the batch), RoI pooling over ~4k padded
+proposals, ``(objectness + 1)`` feature scaling, DAN neck, WSDDN two-stream
+scores, and K OICR refinement branches.
+
+Everything is one jit-able function of (params, batch, rng): train mode
+returns the loss dict; eval mode returns the full (P, C+1) score and box
+matrices that feed NMS / TTA, mirroring the reference's
+``(results, all_scores, all_boxes)`` contract (rcnn.py:230-240).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.roi_align import roi_align, roi_pool
+from ..structures import boxes as box_ops
+from .heads.box_head import DiscriminativeAdaptionNeck
+from .heads import oicr as oicr_lib
+from .heads import wsddn as wsddn_lib
+
+
+class GeneralizedRCNNWSL(nn.Module):
+    """WSOD detector over precomputed proposals (static shapes throughout)."""
+
+    backbone: nn.Module
+    feature_name: str = "res5"
+    feature_stride: int = 8
+    num_classes: int = 20
+    head_type: str = "OICR"            # WSDDN | OICR | PCL (PCL varies losses)
+    refine_k: int = 3
+    refine_reg: Sequence[bool] = (False, False, False)
+    pooler_type: str = "ROIPool"       # ROIPool | ROIAlign | ROIAlignV2
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 2
+    dan_dims: Sequence[int] = (4096, 4096)
+    dropout: float = 0.5
+    mean_loss: bool = True
+    use_objectness: bool = True
+    cls_agnostic_bbox_reg: bool = False
+    reg_weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0)
+    pixel_mean: Sequence[float] = (102.9801, 115.9465, 122.7717)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    freeze_backbone: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.dan = DiscriminativeAdaptionNeck(
+            dan_dims=tuple(self.dan_dims), dropout_rate=self.dropout,
+            dtype=self.dtype, name="box_head")
+        if self.head_type in ("WSDDN", "OICR", "PCL"):
+            self.wsddn = wsddn_lib.WSDDNOutputLayers(
+                num_classes=self.num_classes, dtype=self.dtype,
+                name="box_predictor")
+        if self.head_type in ("OICR", "PCL"):
+            self.box_refinery = [
+                oicr_lib.RefinementOutputLayers(
+                    num_classes=self.num_classes,
+                    cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+                    dtype=self.dtype, name=f"box_refinery_{k}")
+                for k in range(self.refine_k)
+            ]
+
+    # ------------------------------------------------------------------ parts
+    def preprocess(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Normalize padded pixels (reference rcnn.py:242-249)."""
+        mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
+        std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
+        return ((image - mean) / std).astype(self.dtype)
+
+    def features(self, image: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) raw pixels -> (B, Hf, Wf, C) feature map."""
+        x = self.preprocess(image)
+        feats = self.backbone(x)[self.feature_name]
+        if self.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
+
+    def pooled_features(self, feats, proposals, prop_mask, objectness,
+                        *, train: bool):
+        """RoI pool + objectness scaling + DAN: -> (B, P, D)."""
+        scale = 1.0 / self.feature_stride
+        res = self.pooler_resolution
+
+        def pool_one(fmap, boxes):
+            if self.pooler_type == "ROIPool":
+                return roi_pool(fmap, boxes, scale, resolution=res)
+            aligned = self.pooler_type == "ROIAlignV2"
+            return roi_align(
+                fmap, boxes, scale, resolution=res,
+                sampling_ratio=max(self.pooler_sampling_ratio, 1),
+                aligned=aligned)
+
+        pooled = jax.vmap(pool_one)(feats, proposals)      # (B, P, r, r, C)
+        if self.use_objectness:
+            # (objectness + 1) scaling, reference roi_heads_oicr.py:342.
+            pooled = pooled * (objectness + 1.0)[..., None, None, None].astype(pooled.dtype)
+        pooled = pooled * prop_mask[..., None, None, None].astype(pooled.dtype)
+        B, P = pooled.shape[:2]
+        flat = pooled.reshape(B * P, -1)
+        feats_out = self.dan(flat, train=train)
+        return feats_out.reshape(B, P, -1)
+
+    # ------------------------------------------------------------------ train
+    def __call__(self, batch, *, train: bool = True) -> Dict[str, jnp.ndarray]:
+        """Training losses (train=True) for the configured head."""
+        feats = self.features(batch.image)
+        box_feats = self.pooled_features(
+            feats, batch.proposals, batch.proposal_mask, batch.objectness,
+            train=train)
+
+        scores = self.wsddn(box_feats, batch.proposal_mask)     # (B, P, C)
+        losses = {"loss_cls": wsddn_lib.wsddn_loss(
+            scores, batch.labels, self.mean_loss)}
+
+        if self.head_type == "WSDDN":
+            return losses
+
+        img_evidence = jax.lax.stop_gradient(wsddn_lib.image_probs(scores))
+        prev_scores = jax.lax.stop_gradient(scores)             # (B, P, C)
+
+        for k in range(self.refine_k):
+            cls_logits, deltas = self.box_refinery[k](box_feats)
+            pgt = jax.vmap(oicr_lib.mine_pgt)(
+                prev_scores, batch.proposals, batch.proposal_mask,
+                batch.labels, img_evidence)
+            targets = jax.vmap(oicr_lib.label_proposals)(
+                pgt, batch.proposals, batch.proposal_mask)
+            losses[f"loss_cls_r{k}"] = oicr_lib.refinement_loss(
+                cls_logits, targets)
+            if self.refine_reg[k]:
+                losses[f"loss_box_reg_r{k}"] = oicr_lib.refinement_box_loss(
+                    deltas, batch.proposals, targets, batch.proposal_mask,
+                    self.num_classes, tuple(self.reg_weights))
+            prev = oicr_lib.branch_probs(cls_logits)[..., :self.num_classes]
+            prev_scores = jax.lax.stop_gradient(prev)
+
+        return losses
+
+    # -------------------------------------------------------------- inference
+    def inference_scores(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full score/box matrices for NMS & TTA.
+
+        Returns:
+          scores: (B, P, C+1) — last column background (zeros for WSDDN).
+          boxes: (B, P, 4) class-agnostic, or (B, P, C*4) when the last
+            refinement branch regresses boxes (reference
+            roi_heads_oicr.py:407-421).
+        """
+        feats = self.features(batch.image)
+        box_feats = self.pooled_features(
+            feats, batch.proposals, batch.proposal_mask, batch.objectness,
+            train=False)
+
+        if self.head_type == "WSDDN":
+            scores = self.wsddn(box_feats, batch.proposal_mask)
+            return wsddn_lib.append_background(scores), batch.proposals
+
+        branch_logits = []
+        last_deltas = None
+        for k in range(self.refine_k):
+            cls_logits, deltas = self.box_refinery[k](box_feats)
+            branch_logits.append(cls_logits)
+            last_deltas = deltas
+
+        if self.refine_reg[-1]:
+            scores = oicr_lib.branch_probs(branch_logits[-1])
+            boxes = box_ops.apply_deltas(
+                last_deltas, batch.proposals, tuple(self.reg_weights))
+        else:
+            scores = oicr_lib.average_branch_probs(branch_logits)
+            boxes = batch.proposals
+
+        if self.head_type == "PCL":
+            # PCL trains with background in column 0; rotate it to the back
+            # for the shared inference path (reference fast_rcnn.py:1463-65).
+            scores = jnp.concatenate([scores[..., 1:], scores[..., :1]], axis=-1)
+
+        mask = batch.proposal_mask[..., None]
+        scores = jnp.where(mask, scores, 0.0)
+        return scores, boxes

@@ -1,0 +1,7 @@
+from .mesh import batch_sharding, create_mesh, replicated, shard_batch
+from .train_parallel import make_sharded_inference_fn, make_sharded_train_step
+
+__all__ = [
+    "batch_sharding", "create_mesh", "replicated", "shard_batch",
+    "make_sharded_inference_fn", "make_sharded_train_step",
+]

@@ -1,0 +1,46 @@
+"""Sharded train / eval steps over a device mesh.
+
+Data parallelism the XLA way: the train step is jitted once with the global
+batch sharded over the ``data`` mesh axis and the state replicated; GSPMD
+inserts the gradient reductions (reference equivalent: DDP allreduce at
+``losses.backward()``, projects/WSL/tools/train_net.py:103). Loss
+normalizations are over the *global* batch, so numerics match single-device
+training exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh
+
+from ..engine.trainer import make_train_step
+from .mesh import batch_sharding, replicated
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh,
+                            loss_weights=None) -> Callable:
+    step = make_train_step(model, tx, loss_weights)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_inference_fn(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Batched inference producing the full score/box matrices, images
+    sharded over the mesh (reference: InferenceSampler shards by rank,
+    detectron2/data/samplers/distributed_sampler.py:57)."""
+
+    def infer(variables, batch):
+        return model.apply(variables, batch, method="inference_scores")
+
+    if mesh is None:
+        return jax.jit(infer)
+    return jax.jit(infer, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                   out_shardings=batch_sharding(mesh))

@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drn_wsod_tpu.models.backbones import ResNetWS, VGG16
+
+
+@pytest.mark.parametrize("depth,dilation,stride,chan", [
+    (18, 2, 8, 512),
+    (50, 2, 8, 2048),
+    (50, 1, 16, 2048),
+])
+def test_resnet_ws_stride_and_channels(depth, dilation, stride, chan):
+    res2 = 64 if depth in (18, 34) else 256
+    model = ResNetWS(depth=depth, res5_dilation=dilation,
+                     res2_out_channels=res2, out_features=("res5",))
+    assert model.feature_strides["res5"] == stride
+    assert model.feature_channels["res5"] == chan
+
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)["res5"]
+    assert out.shape[-1] == chan
+    # Trailing VALID 2x2 pools shave fractional cells; stride dominates.
+    assert out.shape[1] in (64 // stride, 64 // stride - 1)
+
+
+def test_resnet_ws_dc5_res3_pool_stride1():
+    """With RES5_DILATION=2 the res3 trailing pool has stride 1 (reference
+    resnet_ws.py:671-678: first_stride=2 only for res2 or res3-with-dil-1)."""
+    specs = ResNetWS.stage_specs(50, 2, 256, 64)
+    by_stage = {s["stage"]: s for s in specs}
+    assert by_stage["res2"]["pool_stride"] == 2 and by_stage["res2"]["has_pool"]
+    assert by_stage["res3"]["pool_stride"] == 1 and by_stage["res3"]["has_pool"]
+    assert not by_stage["res4"]["has_pool"]
+    assert by_stage["res4"]["dilation"] == 2 and by_stage["res5"]["dilation"] == 2
+
+
+def test_vgg16_shapes():
+    model = VGG16(conv5_dilation=2, out_features=("plain5",))
+    assert model.feature_strides["plain5"] == 8
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)["plain5"]
+    # plain4's stride-1 VALID 2x2 pool shaves one cell (matches the
+    # reference's nn.MaxPool2d(2, 1, 0)): 64/8 - 1 = 7.
+    assert out.shape == (1, 7, 7, 512)
+
+
+def test_frozen_bn_folding():
+    from drn_wsod_tpu.models.backbones.resnet_ws import FrozenBatchNorm
+    bn = FrozenBatchNorm(4)
+    x = jnp.ones((1, 2, 2, 4))
+    params = {"params": {"weight": jnp.full((4,), 2.0),
+                         "bias": jnp.full((4,), 1.0),
+                         "running_mean": jnp.full((4,), 0.5),
+                         "running_var": jnp.full((4,), 4.0)}}
+    out = np.asarray(bn.apply(params, x))
+    want = (1.0 - 0.5) / np.sqrt(4.0 + 1e-5) * 2.0 + 1.0
+    np.testing.assert_allclose(out, want, rtol=1e-6)

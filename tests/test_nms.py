@@ -43,9 +43,9 @@ def test_nms_mask_chain():
     # A suppression chain: 0 kills 1; since 1 is dead, 2 survives; 2 kills 3.
     boxes = jnp.array([
         [0, 0, 10, 10],
-        [4, 0, 14, 10],
-        [8, 0, 18, 10],
-        [12, 0, 22, 10],
+        [3, 0, 13, 10],   # IoU with prev = 7/13 > 0.5
+        [6, 0, 16, 10],
+        [9, 0, 19, 10],
     ], dtype=jnp.float32)
     scores = jnp.array([0.9, 0.8, 0.7, 0.6])
     valid = jnp.ones(4, dtype=bool)
