@@ -1,0 +1,68 @@
+"""Benchmark: flagship WSOD train-step throughput on the available chip.
+
+Measures images/sec/chip for the DRN-WSOD headline workload: OICR ResNet50-WS
+dilated-C5, 4096 proposals/image, 688px images (TEST.MIN_SIZE of the
+reference config), full train step (fwd + bwd + SGD).
+
+Baseline: the closest supervised analog the reference documents is Faster
+R-CNN R50-DC5 at 0.38 s/iter for a 16-image batch on 8 V100 = 5.25
+img/s/GPU (/root/reference/MODEL_ZOO.md:110-118; see BASELINE.md). The
+north-star target is >= 5x that per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_GPU = 42.1 / 8  # MODEL_ZOO.md R50-DC5, 8xV100
+
+
+def main():
+    from __graft_entry__ import _synthetic_batch
+    from drn_wsod_tpu.config import get_cfg
+    from drn_wsod_tpu.engine import create_train_state, make_train_step
+    from drn_wsod_tpu.models import build_model
+    from drn_wsod_tpu.solver import build_optimizer
+
+    cfg = get_cfg()  # OICR R50-WS DC5 defaults
+    B, H, P = 2, 688, 4096
+    # pad H to bucket 704 as the data pipeline would
+    H = 704
+
+    model = build_model(cfg)
+    batch = _synthetic_batch(B=B, H=H, W=H, P=P,
+                             C=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, train=True)
+    tx = build_optimizer(cfg, variables)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    # warmup / compile
+    state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = B * iters / dt / n_chips
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_oicr_r50ws_dc5_4kprops",
+        "value": round(img_per_sec_per_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec_per_chip
+                             / BASELINE_IMG_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,11 +2,12 @@ from .events import (CommonMetricPrinter, EventStorage, EventWriter,
                      JSONWriter, get_event_storage)
 from .hooks import (EvalHook, HookBase, IterationTimer, PeriodicCheckpointer,
                     PeriodicWriter)
-from .trainer import TrainState, Trainer, create_train_state, make_train_step
+from .trainer import (TrainState, Trainer, create_train_state,
+                      make_csc_train_step, make_train_step)
 
 __all__ = [
     "CommonMetricPrinter", "EventStorage", "EventWriter", "JSONWriter",
     "get_event_storage", "EvalHook", "HookBase", "IterationTimer",
     "PeriodicCheckpointer", "PeriodicWriter", "TrainState", "Trainer",
-    "create_train_state", "make_train_step",
+    "create_train_state", "make_csc_train_step", "make_train_step",
 ]

@@ -72,6 +72,57 @@ def make_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = None
     return train_step
 
 
+def make_csc_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = None,
+                        tau: float = 0.7, fg_threshold: float = 0.1,
+                        context_scale: float = 1.8) -> Callable:
+    """Train step with the CSC constraint active (iter < WSL.CSC_MAX_ITER):
+    compute class-peak-gradient maps by backprop-to-image, derive
+    center-surround weights on device, and train with the CSC-weighted
+    positive/negative image BCE (reference CSCROIHeads,
+    projects/WSL/wsl/modeling/roi_heads/roi_heads_csc.py)."""
+    import jax.numpy as jnp
+
+    from ..models.heads.wsddn import image_probs
+    from ..ops import csc as csc_lib
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def score_fn(img):
+            return model.apply(state.params, batch.replace(image=img),
+                               method="proposal_scores")
+
+        scores0 = model.apply(state.params, batch, method="proposal_scores")
+        preds = image_probs(scores0)
+        cpg = csc_lib.compute_cpg_batched(score_fn, batch.image, batch.labels,
+                                          preds, tau)
+        W, PL, NL = jax.vmap(
+            lambda c, l, p, r, m: csc_lib.csc_forward(
+                c, l, p, r, m, fg_threshold=fg_threshold,
+                context_scale=context_scale)
+        )(cpg, batch.labels, preds, batch.proposals, batch.proposal_mask)
+        csc_w = jax.lax.stop_gradient((W, PL, NL))
+
+        def loss_fn(variables):
+            losses = model.apply(variables, batch, train=True,
+                                 rngs={"dropout": step_rng}, csc_w=csc_w)
+            if loss_weights:
+                losses = {k: v * loss_weights.get(k, 1.0)
+                          for k, v in losses.items()}
+            return sum(jax.tree.leaves(losses)), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
 class Trainer:
     """Hook-driven loop over a jitted train step (reference TrainerBase +
     SimpleTrainer, train_loop.py:84-250)."""

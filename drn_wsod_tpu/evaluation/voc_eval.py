@@ -65,7 +65,8 @@ def _gather_class_gt(gt_by_image: Dict[str, List[dict]], class_id: int):
     for image_id, annos in gt_by_image.items():
         objs = [a for a in annos if a["category_id"] == class_id]
         bbox = np.array([a["bbox"] for a in objs], dtype=np.float64).reshape(-1, 4)
-        difficult = np.array([bool(a.get("difficult", 0)) for a in objs])
+        difficult = np.array([bool(a.get("difficult", 0)) for a in objs],
+                             dtype=bool)
         npos += int((~difficult).sum())
         class_recs[image_id] = _ClassGT(bbox, difficult)
         if len(objs) > 0:

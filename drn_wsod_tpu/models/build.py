@@ -52,6 +52,7 @@ _HEAD_TYPES = {
     "WSDDNROIHeads": "WSDDN",
     "OICRROIHeads": "OICR",
     "PCLROIHeads": "PCL",
+    "CSCROIHeads": "CSC",
 }
 
 
@@ -65,6 +66,10 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
 
     refine_reg = tuple(cfg.WSL.REFINE_REG)
     refine_k = cfg.WSL.REFINE_NUM
+    if _HEAD_TYPES[head_name] in ("WSDDN", "CSC"):
+        # Pure WSDDN / CSC heads carry no refinement branches (the reference
+        # csc_oicr variant combines them; configure via OICRROIHeads there).
+        refine_k = 0
     if len(refine_reg) < refine_k:
         refine_reg = refine_reg + (False,) * (refine_k - len(refine_reg))
 

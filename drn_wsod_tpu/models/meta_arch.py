@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.roi_align import roi_align, roi_pool
+from ..ops import csc as csc_lib
+from ..ops import pcl as pcl_lib
 from ..structures import boxes as box_ops
 from .heads.box_head import DiscriminativeAdaptionNeck
 from .heads import oicr as oicr_lib
@@ -56,11 +58,11 @@ class GeneralizedRCNNWSL(nn.Module):
         self.dan = DiscriminativeAdaptionNeck(
             dan_dims=tuple(self.dan_dims), dropout_rate=self.dropout,
             dtype=self.dtype, name="box_head")
-        if self.head_type in ("WSDDN", "OICR", "PCL"):
+        if self.head_type in ("WSDDN", "OICR", "PCL", "CSC"):
             self.wsddn = wsddn_lib.WSDDNOutputLayers(
                 num_classes=self.num_classes, dtype=self.dtype,
                 name="box_predictor")
-        if self.head_type in ("OICR", "PCL"):
+        if self.head_type in ("OICR", "PCL", "CSC") and self.refine_k > 0:
             self.box_refinery = [
                 oicr_lib.RefinementOutputLayers(
                     num_classes=self.num_classes,
@@ -109,19 +111,41 @@ class GeneralizedRCNNWSL(nn.Module):
         feats_out = self.dan(flat, train=train)
         return feats_out.reshape(B, P, -1)
 
+    def proposal_scores(self, batch) -> jnp.ndarray:
+        """WSDDN per-proposal scores (B, P, C) — the differentiable-in-image
+        quantity CSC backprops to get class-peak-gradient maps (reference
+        roi_heads_csc.py:423-474). Dropout off for a deterministic CPG pass."""
+        feats = self.features(batch.image)
+        box_feats = self.pooled_features(
+            feats, batch.proposals, batch.proposal_mask, batch.objectness,
+            train=False)
+        return self.wsddn(box_feats, batch.proposal_mask)
+
     # ------------------------------------------------------------------ train
-    def __call__(self, batch, *, train: bool = True) -> Dict[str, jnp.ndarray]:
-        """Training losses (train=True) for the configured head."""
+    def __call__(self, batch, *, train: bool = True,
+                 csc_w=None) -> Dict[str, jnp.ndarray]:
+        """Training losses (train=True) for the configured head.
+
+        csc_w: optional (W (B,P,C), PL (B,C), NL (B,C)) from
+        :func:`drn_wsod_tpu.ops.csc.csc_forward` — replaces the plain WSDDN
+        image BCE with the CSC-weighted positive/negative pair
+        (reference CSCOutputs.csc_loss, fast_rcnn.py:888-935).
+        """
         feats = self.features(batch.image)
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=train)
 
         scores = self.wsddn(box_feats, batch.proposal_mask)     # (B, P, C)
-        losses = {"loss_cls": wsddn_lib.wsddn_loss(
-            scores, batch.labels, self.mean_loss)}
+        if csc_w is not None:
+            W, PL, NL = csc_w
+            pos, neg = csc_lib.csc_loss(scores, W, PL, NL, self.mean_loss)
+            losses = {"loss_cls_pos": pos, "loss_cls_neg": neg}
+        else:
+            losses = {"loss_cls": wsddn_lib.wsddn_loss(
+                scores, batch.labels, self.mean_loss)}
 
-        if self.head_type == "WSDDN":
+        if self.head_type == "WSDDN" or self.refine_k == 0:
             return losses
 
         img_evidence = jax.lax.stop_gradient(wsddn_lib.image_probs(scores))
@@ -129,18 +153,26 @@ class GeneralizedRCNNWSL(nn.Module):
 
         for k in range(self.refine_k):
             cls_logits, deltas = self.box_refinery[k](box_feats)
-            pgt = jax.vmap(oicr_lib.mine_pgt)(
-                prev_scores, batch.proposals, batch.proposal_mask,
-                batch.labels, img_evidence)
-            targets = jax.vmap(oicr_lib.label_proposals)(
-                pgt, batch.proposals, batch.proposal_mask)
-            losses[f"loss_cls_r{k}"] = oicr_lib.refinement_loss(
-                cls_logits, targets)
-            if self.refine_reg[k]:
-                losses[f"loss_box_reg_r{k}"] = oicr_lib.refinement_box_loss(
-                    deltas, batch.proposals, targets, batch.proposal_mask,
-                    self.num_classes, tuple(self.reg_weights))
-            prev = oicr_lib.branch_probs(cls_logits)[..., :self.num_classes]
+            if self.head_type == "PCL":
+                # Branch supervised by proposal-cluster learning; background
+                # lives in column 0 (reference roi_heads_pcl.py:342-349).
+                losses[f"loss_cls_r{k}"] = pcl_lib.pcl_branch_loss(
+                    cls_logits, prev_scores, batch.proposals,
+                    batch.proposal_mask, batch.labels)
+                prev = oicr_lib.branch_probs(cls_logits)[..., 1:]
+            else:
+                pgt = jax.vmap(oicr_lib.mine_pgt)(
+                    prev_scores, batch.proposals, batch.proposal_mask,
+                    batch.labels, img_evidence)
+                targets = jax.vmap(oicr_lib.label_proposals)(
+                    pgt, batch.proposals, batch.proposal_mask)
+                losses[f"loss_cls_r{k}"] = oicr_lib.refinement_loss(
+                    cls_logits, targets)
+                if self.refine_reg[k]:
+                    losses[f"loss_box_reg_r{k}"] = oicr_lib.refinement_box_loss(
+                        deltas, batch.proposals, targets, batch.proposal_mask,
+                        self.num_classes, tuple(self.reg_weights))
+                prev = oicr_lib.branch_probs(cls_logits)[..., :self.num_classes]
             prev_scores = jax.lax.stop_gradient(prev)
 
         return losses
@@ -160,8 +192,9 @@ class GeneralizedRCNNWSL(nn.Module):
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=False)
 
-        if self.head_type == "WSDDN":
+        if self.head_type == "WSDDN" or self.refine_k == 0:
             scores = self.wsddn(box_feats, batch.proposal_mask)
+            scores = jnp.where(batch.proposal_mask[..., None], scores, 0.0)
             return wsddn_lib.append_background(scores), batch.proposals
 
         branch_logits = []

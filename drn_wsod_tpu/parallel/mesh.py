@@ -31,8 +31,9 @@ def create_mesh(axis_names: Sequence[str] = ("data",),
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = n // known
-    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
-    dev_array = np.asarray(devices).reshape(shape)
+    total = int(np.prod(shape))
+    assert total <= n, f"mesh {shape} needs {total} devices, have {n}"
+    dev_array = np.asarray(devices[:total]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 

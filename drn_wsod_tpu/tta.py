@@ -1,0 +1,173 @@
+"""Test-time augmentation (multi-scale + flip, score averaging).
+
+Re-design of the reference ``GeneralizedRCNNWithTTAAVG``
+(projects/WSL/wsl/modeling/test_time_augmentation_avg.py): because the
+precomputed proposal set is identical across views, per-proposal score and
+box matrices can be averaged element-wise across views before a single NMS.
+
+TPU-native shape: all V views of one image are batched into ONE jitted
+forward (V is static: len(min_sizes) x (2 if flip)), and the inverse view
+transforms (resize scale + horizontal flip) are applied analytically on
+device — no per-view host round trips.
+
+Deviation from the reference (documented): proposal dedup/top-k is done once
+in the original frame rather than per view, which guarantees slot alignment
+across views (the reference re-dedups per view and relies on rounding never
+changing the mask).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import transforms as T
+from .data.mapper import pick_bucket
+from .ops.nms import multiclass_nms
+from .structures import WSODBatch
+
+
+def build_view_batch(image: np.ndarray, proposals: np.ndarray,
+                     objectness: np.ndarray, labels: np.ndarray,
+                     min_sizes, max_size: int, flip: bool,
+                     buckets, num_proposals: int) -> Tuple[WSODBatch, Dict]:
+    """Build the (V, ...) batch of augmented views for one image.
+
+    ``image`` is the raw (H, W, 3) image (already channel-ordered);
+    ``proposals`` (N, 4) raw-frame boxes after dedup/top-k.
+    Returns (batch, inverse-info dict with 'scale' (V, 2) and 'flip' (V,)).
+    """
+    H, W = image.shape[:2]
+    views = []
+    for size in min_sizes:
+        nh, nw = T.ResizeShortestEdge.target_size(H, W, size, max_size)
+        for do_flip in ((False, True) if flip else (False,)):
+            views.append((nh, nw, do_flip))
+
+    V = len(views)
+    P = num_proposals
+    bucket = max(pick_bucket(nh, nw, buckets) for nh, nw, _ in views)
+
+    images = np.zeros((V, bucket, bucket, 3), dtype=np.float32)
+    props = np.zeros((V, P, 4), dtype=np.float32)
+    mask = np.zeros((V, P), dtype=bool)
+    obj = np.zeros((V, P), dtype=np.float32)
+    hw = np.zeros((V, 2), dtype=np.int32)
+    scale = np.zeros((V, 2), dtype=np.float32)  # (sx, sy) view <- original
+    flips = np.zeros((V,), dtype=np.float32)
+    widths = np.zeros((V,), dtype=np.float32)
+
+    n = min(len(proposals), P)
+    for v, (nh, nw, do_flip) in enumerate(views):
+        tfm = T.ResizeTransform(H, W, nh, nw)
+        img = tfm.apply_image(image)
+        b = tfm.apply_box(proposals[:n])
+        if do_flip:
+            img = img[:, ::-1]
+            b = np.stack([nw - b[:, 2], b[:, 1], nw - b[:, 0], b[:, 3]],
+                         axis=1)
+        images[v, :nh, :nw] = img.astype(np.float32)
+        props[v, :n] = b
+        mask[v, :n] = True
+        obj[v, :n] = objectness[:n]
+        hw[v] = (nh, nw)
+        scale[v] = (nw / W, nh / H)
+        flips[v] = float(do_flip)
+        widths[v] = nw
+
+    batch = WSODBatch(
+        image=jnp.asarray(images),
+        image_hw=jnp.asarray(hw),
+        orig_hw=jnp.asarray(np.tile([[H, W]], (V, 1)).astype(np.int32)),
+        proposals=jnp.asarray(props),
+        proposal_mask=jnp.asarray(mask),
+        objectness=jnp.asarray(obj),
+        labels=jnp.asarray(np.tile(labels[None], (V, 1))),
+        image_id=jnp.zeros((V,), dtype=jnp.int32),
+    )
+    inv = {"scale": jnp.asarray(scale), "flip": jnp.asarray(flips),
+           "width": jnp.asarray(widths)}
+    return batch, inv
+
+
+def _invert_boxes(boxes, inv):
+    """Map (V, P, 4) view-frame boxes back to the original frame."""
+    w = inv["width"][:, None]
+    f = inv["flip"][:, None]
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    fx1 = jnp.where(f > 0, w - x2, x1)
+    fx2 = jnp.where(f > 0, w - x1, x2)
+    sx = inv["scale"][:, None, 0]
+    sy = inv["scale"][:, None, 1]
+    return jnp.stack([fx1 / sx, y1 / sy, fx2 / sx, y2 / sy], axis=-1)
+
+
+def make_tta_detect_fn(model, score_thresh: float, nms_thresh: float,
+                       topk: int):
+    """Jitted (variables, view_batch, inv) -> detections in original frame
+    (reference tta_avg.py:283-323: mean over views, then one NMS)."""
+
+    @jax.jit
+    def detect(variables, batch, inv):
+        scores, boxes = model.apply(variables, batch,
+                                    method="inference_scores")
+        C = scores.shape[-1] - 1
+        if boxes.shape[-1] != 4:
+            # class-specific boxes: invert each class column
+            V, P = boxes.shape[:2]
+            b = boxes.reshape(V, P * C, 4)
+            b = _invert_boxes(b, inv).reshape(V, P, C, 4)
+            avg_boxes = jnp.mean(b, axis=0)
+        else:
+            avg_boxes = jnp.mean(_invert_boxes(boxes, inv), axis=0)
+        avg_scores = jnp.mean(scores, axis=0)
+
+        dets = multiclass_nms(
+            avg_boxes, avg_scores[:, :C], batch.proposal_mask[0],
+            iou_threshold=nms_thresh, score_threshold=score_thresh, topk=topk)
+        dets["all_scores"] = avg_scores
+        dets["all_boxes"] = avg_boxes
+        return dets
+
+    return detect
+
+
+class GeneralizedRCNNWithTTAAVG:
+    """Host-facing wrapper: record -> TTA detections (original frame)."""
+
+    def __init__(self, cfg, model, variables):
+        self.model = model
+        self.variables = variables
+        self.min_sizes = tuple(cfg.TEST.AUG.MIN_SIZES)
+        self.max_size = cfg.TEST.AUG.MAX_SIZE
+        self.flip = cfg.TEST.AUG.FLIP
+        self.buckets = tuple(cfg.INPUT.BUCKETS)
+        self.num_proposals = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+        self.fmt = cfg.INPUT.FORMAT
+        self.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        self._detect = make_tta_detect_fn(
+            model, cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+            cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+            cfg.TEST.DETECTIONS_PER_IMAGE)
+
+    def __call__(self, record: dict):
+        from .data.mapper import read_image
+        from .data.datasets.voc import image_level_labels
+        from .structures.boxes import unique_boxes_mask
+
+        image = read_image(record["file_name"], self.fmt)
+        boxes = np.asarray(record["proposal_boxes"], dtype=np.float32)
+        logits = np.asarray(record["proposal_objectness_logits"],
+                            dtype=np.float32)
+        keep = unique_boxes_mask(boxes)
+        boxes, logits = boxes[keep], logits[keep]
+        labels = image_level_labels(record, self.num_classes)
+
+        batch, inv = build_view_batch(
+            image, boxes, logits, labels, self.min_sizes, self.max_size,
+            self.flip, self.buckets, self.num_proposals)
+        return jax.device_get(self._detect(self.variables, batch, inv))

@@ -1,0 +1,31 @@
+"""Every shipped YAML must merge cleanly and build a model."""
+
+import glob
+import os
+
+import pytest
+
+from drn_wsod_tpu.config import get_cfg
+from drn_wsod_tpu.models import build_model
+
+CONFIG_ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+ALL_CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(CONFIG_ROOT, "**", "*.yaml"),
+                         recursive=True)
+    if "Base-" not in os.path.basename(p)
+)
+
+
+def test_found_configs():
+    assert len(ALL_CONFIGS) >= 14
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS,
+                         ids=[os.path.relpath(p, CONFIG_ROOT)
+                              for p in ALL_CONFIGS])
+def test_config_merges_and_builds(path):
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    model = build_model(cfg)
+    assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    assert model.feature_stride in (8, 16)

