@@ -117,7 +117,12 @@ def multiclass_nms(
     keep = keep.T                                     # (P, C)
 
     kept_scores = jnp.where(keep, scores, -jnp.inf).reshape(-1)  # (P*C,)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
+    k = min(topk, P * C)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
+    if k < topk:
+        top_scores = jnp.pad(top_scores, (0, topk - k),
+                             constant_values=-jnp.inf)
+        top_idx = jnp.pad(top_idx, (0, topk - k))
     top_p = top_idx // C
     top_c = (top_idx % C).astype(jnp.int32)
     if class_specific:

@@ -3,9 +3,13 @@
 TPU-native replacement for the reference's CUDA RoIAlign / torchvision RoIPool
 (detectron2/layers/csrc/ROIAlign/, detectron2/modeling/poolers.py:148-172).
 Instead of per-box dynamic loops, every RoI samples a fixed grid of points;
-bilinear (align) or nearest (pool) values are fetched with one big gather from
-the flattened feature map, which XLA lowers to efficient dynamic-gather on
-TPU. RoIs are processed in chunks to bound the intermediate size.
+bilinear (align) or nearest (pool) values are fetched with gathers from the
+flattened feature map, which XLA lowers to efficient dynamic-gather on TPU.
+
+Memory shape: the computation iterates over the (S x S) sample sub-grid, so
+the peak intermediate is one (chunk, R, R, C) buffer per bilinear corner —
+NOT the full (chunk, R*S, R*S, C) cross product. RoIs are additionally
+processed in chunks to bound that buffer.
 
 Semantics:
   * ``roi_align`` matches torchvision RoIAlign with a static
@@ -38,13 +42,11 @@ def _bilinear_1d(coord, size):
     return lo.astype(jnp.int32), hi.astype(jnp.int32), w_lo, w_hi
 
 
-def _sample_grid(start, bin_size, resolution, samples):
-    """Sample coordinates (..., resolution * samples) within each bin."""
-    # offsets (resolution*samples,): (ph + (i + .5)/samples) * bin for each bin
-    ph = jnp.arange(resolution, dtype=jnp.float32)
-    frac = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
-    offs = (ph[:, None] + frac[None, :]).reshape(-1)  # (R*S,)
-    return start[..., None] + bin_size[..., None] * offs[None, :]
+def _gather_rr(flat, y_idx, x_idx, W, C):
+    """flat: (H*W, C); y_idx/x_idx: (N, R) -> (N, R, R, C) values."""
+    N, R = y_idx.shape
+    idx = y_idx[:, :, None] * W + x_idx[:, None, :]
+    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(N, R, R, C)
 
 
 @partial(jax.jit, static_argnames=("resolution", "sampling_ratio", "aligned", "chunk"))
@@ -55,7 +57,7 @@ def roi_align(
     resolution: int = 7,
     sampling_ratio: int = 2,
     aligned: bool = False,
-    chunk: int = 256,
+    chunk: int = 512,
 ) -> jnp.ndarray:
     """Bilinear average RoI pooling.
 
@@ -63,11 +65,8 @@ def roi_align(
       features: (H, W, C) one image's feature map (NHWC slice).
       boxes: (P, 4) XYXY in input-image coordinates.
       spatial_scale: 1 / feature stride.
-      resolution: output bins per side.
-      sampling_ratio: static samples per bin side (>0).
-      aligned: half-pixel alignment (RoIAlignV2).
 
-    Returns: (P, resolution, resolution, C)
+    Returns: (P, resolution, resolution, C), features.dtype.
     """
     H, W, C = features.shape
     P = boxes.shape[0]
@@ -84,55 +83,50 @@ def roi_align(
     bin_w = roi_w / R
     bin_h = roi_h / R
 
-    ys = _sample_grid(y1, bin_h, R, S)  # (P, R*S)
-    xs = _sample_grid(x1, bin_w, R, S)  # (P, R*S)
-
-    y_lo, y_hi, wy_lo, wy_hi = _bilinear_1d(ys, H)
-    x_lo, x_hi, wx_lo, wx_hi = _bilinear_1d(xs, W)
-
     flat = features.reshape(H * W, C)
-    n = R * S
+    ph = jnp.arange(R, dtype=jnp.float32)
 
     def pool_chunk(args):
-        yl, yh, wyl, wyh, xl, xh, wxl, wxh = args
-        # (CH, n, n) flattened indices for the 4 bilinear corners.
-        def gathered(yi, xi):
-            idx = yi[:, :, None] * W + xi[:, None, :]
-            return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-                idx.shape[0], n, n, C)
-
-        out = (
-            gathered(yl, xl) * (wyl[:, :, None] * wxl[:, None, :])[..., None]
-            + gathered(yl, xh) * (wyl[:, :, None] * wxh[:, None, :])[..., None]
-            + gathered(yh, xl) * (wyh[:, :, None] * wxl[:, None, :])[..., None]
-            + gathered(yh, xh) * (wyh[:, :, None] * wxh[:, None, :])[..., None]
-        )
-        # (CH, R, S, R, S, C) -> average over sample sub-grid
-        out = out.reshape(out.shape[0], R, S, R, S, C)
-        return out.mean(axis=(2, 4))
+        cx1, cy1, cbw, cbh = args
+        n = cx1.shape[0]
+        acc = jnp.zeros((n, R, R, C), dtype=jnp.float32)
+        for iy in range(S):
+            ys = cy1[:, None] + (ph[None, :] + (iy + 0.5) / S) * cbh[:, None]
+            yl, yh, wyl, wyh = _bilinear_1d(ys, H)
+            for ix in range(S):
+                xs = cx1[:, None] + (ph[None, :] + (ix + 0.5) / S) * cbw[:, None]
+                xl, xh, wxl, wxh = _bilinear_1d(xs, W)
+                v = (_gather_rr(flat, yl, xl, W, C)
+                     * (wyl[:, :, None] * wxl[:, None, :])[..., None]
+                     + _gather_rr(flat, yl, xh, W, C)
+                     * (wyl[:, :, None] * wxh[:, None, :])[..., None]
+                     + _gather_rr(flat, yh, xl, W, C)
+                     * (wyh[:, :, None] * wxl[:, None, :])[..., None]
+                     + _gather_rr(flat, yh, xh, W, C)
+                     * (wyh[:, :, None] * wxh[:, None, :])[..., None])
+                acc = acc + v.astype(jnp.float32)
+        return (acc / (S * S)).astype(features.dtype)
 
     ch = min(chunk, P)
     if P % ch != 0:
-        ch = P  # fall back to a single chunk for odd sizes
+        ch = P
+
     def reshape_c(a):
         return a.reshape(P // ch, ch, *a.shape[1:])
 
-    args = tuple(map(reshape_c, (y_lo, y_hi, wy_lo.astype(features.dtype),
-                                 wy_hi.astype(features.dtype), x_lo, x_hi,
-                                 wx_lo.astype(features.dtype),
-                                 wx_hi.astype(features.dtype))))
-    out = jax.lax.map(pool_chunk, args)
+    out = jax.lax.map(pool_chunk,
+                      tuple(map(reshape_c, (x1, y1, bin_w, bin_h))))
     return out.reshape(P, R, R, C)
 
 
 @partial(jax.jit, static_argnames=("resolution", "samples", "chunk"))
-def roi_pool(
+def roi_pool(  # noqa: C901
     features: jnp.ndarray,
     boxes: jnp.ndarray,
     spatial_scale: float,
     resolution: int = 7,
-    samples: int = 8,
-    chunk: int = 256,
+    samples: int = 2,
+    chunk: int = 512,
 ) -> jnp.ndarray:
     """Quantized max RoI pooling (torchvision RoIPool semantics).
 
@@ -147,59 +141,56 @@ def roi_pool(
     P = boxes.shape[0]
     R, S = resolution, samples
 
-    scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale)
+    scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
     x1, y1 = scaled[:, 0], scaled[:, 1]
     x2, y2 = scaled[:, 2], scaled[:, 3]
-    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
-    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
-    bin_w = roi_w / R
-    bin_h = roi_h / R
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
 
-    ph = jnp.arange(R, dtype=jnp.float32)
-    # torchvision: hstart = floor(ph * bin), hend = ceil((ph + 1) * bin)
-    def bounds(start, bin_size):
-        lo = jnp.floor(ph[None, :] * bin_size[:, None]) + start[:, None]
-        hi = jnp.ceil((ph[None, :] + 1.0) * bin_size[:, None]) + start[:, None]
-        lo = jnp.clip(lo, 0, None)
-        return lo, hi  # (P, R)
-
-    hs_lo, hs_hi = bounds(y1, bin_h)
-    ws_lo, ws_hi = bounds(x1, bin_w)
-
-    # Sample integer positions lo + floor(i * (hi - lo) / S): covers every cell
-    # when (hi - lo) <= S.
-    i = jnp.arange(S, dtype=jnp.float32)
-
-    def positions(lo, hi, size):
-        span = hi - lo
-        pos = lo[..., None] + jnp.floor(i * span[..., None] / S)
-        pos = jnp.clip(pos, 0, size - 1).astype(jnp.int32)
-        valid = i[None, None, :] * span[..., None] / S < span[..., None]
-        return pos.reshape(pos.shape[0], R * S), valid.reshape(pos.shape[0], R * S)
-
-    ypos, yval = positions(hs_lo, hs_hi, H)  # (P, R*S)
-    xpos, xval = positions(ws_lo, ws_hi, W)
-
+    ph = jnp.arange(R, dtype=jnp.int32)
     flat = features.reshape(H * W, C)
-    n = R * S
-    neg_inf = jnp.asarray(-jnp.inf, dtype=features.dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
+
+    def bounds(start, roi_size):
+        # torchvision: hstart = floor(ph * roi/R) + y1, hend = ceil((ph+1) *
+        # roi/R) + y1 — bin edges are integer ratios, so compute them with
+        # exact integer arithmetic (fp32 ceil leaks a cell when (ph+1)*roi/R
+        # lands epsilon above an integer).
+        lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
+        hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
+        return (jnp.maximum(lo, 0).astype(jnp.float32),
+                hi.astype(jnp.float32))
 
     def pool_chunk(args):
-        yp, yv, xp, xv = args
-        idx = yp[:, :, None] * W + xp[:, None, :]
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            idx.shape[0], n, n, C)
-        m = (yv[:, :, None] & xv[:, None, :])[..., None]
-        vals = jnp.where(m, vals, neg_inf)
-        vals = vals.reshape(vals.shape[0], R, S, R, S, C).max(axis=(2, 4))
-        # Empty bins (hend <= hstart) -> 0, matching torchvision.
-        return jnp.where(jnp.isfinite(vals), vals, 0.0).astype(features.dtype)
+        cx1, cy1, cbw, cbh = args
+        n = cx1.shape[0]
+        hs, he = bounds(cy1, cbh)                  # (n, R)
+        ws, we = bounds(cx1, cbw)
+        acc = jnp.full((n, R, R, C), neg_inf)
+        for iy in range(S):
+            # position lo + floor(i * span / S): covers every integer cell
+            # when span <= S
+            ypos = hs + jnp.floor(iy * (he - hs) / S)
+            yval = (iy * (he - hs) / S < (he - hs)) & (ypos < H)
+            yi = jnp.clip(ypos, 0, H - 1).astype(jnp.int32)
+            for ix in range(S):
+                xpos = ws + jnp.floor(ix * (we - ws) / S)
+                xval = (ix * (we - ws) / S < (we - ws)) & (xpos < W)
+                xi = jnp.clip(xpos, 0, W - 1).astype(jnp.int32)
+                v = _gather_rr(flat, yi, xi, W, C).astype(jnp.float32)
+                m = (yval[:, :, None] & xval[:, None, :])[..., None]
+                acc = jnp.maximum(acc, jnp.where(m, v, neg_inf))
+        # Empty bins (hend <= hstart after clipping) -> 0 (torchvision).
+        out = jnp.where(jnp.isfinite(acc), acc, 0.0)
+        return out.astype(features.dtype)
 
     ch = min(chunk, P)
     if P % ch != 0:
         ch = P
+
     def reshape_c(a):
         return a.reshape(P // ch, ch, *a.shape[1:])
 
-    out = jax.lax.map(pool_chunk, tuple(map(reshape_c, (ypos, yval, xpos, xval))))
+    out = jax.lax.map(pool_chunk,
+                      tuple(map(reshape_c, (x1, y1, roi_w, roi_h))))
     return out.reshape(P, R, R, C)
