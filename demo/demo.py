@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Single-image WSOD demo (equivalent of the reference demo/demo.py on the
+DefaultPredictor API). WSOD consumes precomputed proposals, so the demo takes
+a proposal pickle alongside the image; without one it falls back to a coarse
+sliding-window proposal grid so the pipeline can still be exercised.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def grid_proposals(h, w, n_scales=4):
+    """Dense multi-scale window grid as a proposal fallback."""
+    boxes = []
+    for s in range(n_scales):
+        size = min(h, w) // (2 ** s)
+        if size < 16:
+            break
+        step = max(size // 2, 8)
+        for y in range(0, h - size + 1, step):
+            for x in range(0, w - size + 1, step):
+                boxes.append([x, y, x + size, y + size])
+    return np.asarray(boxes, dtype=np.float32)
+
+
+def main():
+    from drn_wsod_tpu.config import get_cfg
+    from drn_wsod_tpu.data.datasets.voc import VOC_CLASS_NAMES
+    from drn_wsod_tpu.data.mapper import read_image
+    from drn_wsod_tpu.engine.defaults import DefaultPredictor
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--input", required=True, help="image path")
+    p.add_argument("--proposals", default="", help="pickle with boxes")
+    p.add_argument("--confidence-threshold", type=float, default=0.3)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    image = read_image(args.input, cfg.INPUT.FORMAT)
+    if args.proposals:
+        with open(args.proposals, "rb") as f:
+            data = pickle.load(f)
+        boxes = np.asarray(data["boxes"][0] if "boxes" in data else data,
+                           dtype=np.float32)
+        objectness = np.asarray(
+            data.get("objectness_logits", [np.zeros(len(boxes))])[0],
+            dtype=np.float32)
+    else:
+        boxes = grid_proposals(*image.shape[:2])
+        objectness = np.zeros(len(boxes), dtype=np.float32)
+
+    predictor = DefaultPredictor(cfg)
+    out = predictor(image, boxes, objectness)
+
+    names = VOC_CLASS_NAMES if cfg.MODEL.ROI_HEADS.NUM_CLASSES == 20 else \
+        [str(i) for i in range(cfg.MODEL.ROI_HEADS.NUM_CLASSES)]
+    n = 0
+    for box, score, cls in zip(out["boxes"], out["scores"], out["classes"]):
+        if score < args.confidence_threshold:
+            continue
+        n += 1
+        print(f"{names[int(cls)]:>14s}  {score:.3f}  "
+              f"[{box[0]:.0f}, {box[1]:.0f}, {box[2]:.0f}, {box[3]:.0f}]")
+    print(f"{n} detections above {args.confidence_threshold}")
+
+
+if __name__ == "__main__":
+    main()

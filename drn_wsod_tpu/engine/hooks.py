@@ -89,6 +89,42 @@ class PeriodicCheckpointer(HookBase):
             self._checkpointer.save(self.trainer.state, it + 1)
 
 
+class ProfilerHook(HookBase):
+    """Captures a jax.profiler trace for a window of iterations
+    (equivalent of the reference AutogradProfiler hook,
+    detectron2/engine/hooks.py:236-298: chrome-trace dumps to OUTPUT_DIR;
+    here the artifact is a TensorBoard/Perfetto-compatible XPlane trace)."""
+
+    def __init__(self, output_dir: str, start_iter: int = 10,
+                 num_iters: int = 5):
+        self._dir = output_dir
+        self._start = start_iter
+        self._stop = start_iter + num_iters
+        self._active = False
+
+    def before_step(self):
+        if self.trainer.iter == self._start and not self._active:
+            import jax
+
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        if self.trainer.iter + 1 >= self._stop and self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info(f"Saved profiler trace to {self._dir}")
+
+    def after_train(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class EvalHook(HookBase):
     """Runs ``eval_fn`` every ``period`` iters and at the end
     (reference hooks.py:300-356)."""

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark dataloader / training / inference throughput separately
+(equivalent of the reference tools/benchmark.py:44-130).
+
+Usage:
+  python tools/benchmark.py --task train --config-file configs/...yaml
+  python tools/benchmark.py --task data  --config-file ...
+  python tools/benchmark.py --task eval  --config-file ...
+Without a config file, a synthetic flagship workload is used (no datasets
+required).
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def benchmark_train_synthetic(cfg, iters=20):
+    from __graft_entry__ import _synthetic_batch
+    from drn_wsod_tpu.engine import create_train_state, make_train_step
+    from drn_wsod_tpu.models import build_model
+    from drn_wsod_tpu.solver import build_optimizer
+
+    B = max(cfg.SOLVER.IMS_PER_BATCH // jax.device_count(), 1)
+    model = build_model(cfg)
+    batch = _synthetic_batch(B=B, H=704, W=704,
+                             P=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                             C=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, train=True)
+    tx = build_optimizer(cfg, variables)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    state, m = step(state, batch, rng)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    print(f"train: {dt / iters * 1000:.1f} ms/iter, "
+          f"{B * iters / dt:.2f} img/s")
+
+
+def benchmark_eval_synthetic(cfg, iters=20):
+    from __graft_entry__ import _synthetic_batch
+    from drn_wsod_tpu.engine.defaults import _init_variables
+    from drn_wsod_tpu.evaluation import make_detect_fn
+    from drn_wsod_tpu.models import build_model
+
+    model = build_model(cfg)
+    batch = _synthetic_batch(B=1, H=704, W=704,
+                             P=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                             C=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+    variables = _init_variables(model, cfg, batch)
+    detect = make_detect_fn(model, cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                            cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                            cfg.TEST.DETECTIONS_PER_IMAGE)
+    d = detect(variables, batch)
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d = detect(variables, batch)
+    jax.block_until_ready(d)
+    dt = time.perf_counter() - t0
+    print(f"eval: {dt / iters * 1000:.1f} ms/img, {iters / dt:.2f} img/s")
+
+
+def benchmark_data(cfg, iters=100):
+    from drn_wsod_tpu.data import DatasetMapper, build_detection_train_loader
+    from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
+
+    register_all_pascal_voc(os.environ.get("DETECTRON2_DATASETS", "datasets"))
+    loader = build_detection_train_loader(cfg, DatasetMapper(cfg, True))
+    it = iter(loader)
+    next(it)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        next(it)
+    dt = time.perf_counter() - t0
+    total = iters * cfg.SOLVER.IMS_PER_BATCH
+    print(f"data: {dt / iters * 1000:.1f} ms/batch, {total / dt:.1f} img/s")
+
+
+def main():
+    from drn_wsod_tpu.config import get_cfg
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="train", choices=["train", "eval", "data"])
+    p.add_argument("--config-file", default="")
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    if args.task == "train":
+        benchmark_train_synthetic(cfg)
+    elif args.task == "eval":
+        benchmark_eval_synthetic(cfg)
+    else:
+        benchmark_data(cfg)
+
+
+if __name__ == "__main__":
+    main()
