@@ -74,11 +74,50 @@ def _gather_class_gt(gt_by_image: Dict[str, List[dict]], class_id: int):
     return class_recs, npos, npos_im
 
 
+def _native_class_arrays(dets, gt_by_image, class_id):
+    """Group one class's GT per image + sort detections for the C core."""
+    images = list(gt_by_image.keys())
+    img_index = {im: i for i, im in enumerate(images)}
+    gt_boxes, gt_diff, offsets = [], [], [0]
+    for im in images:
+        objs = [a for a in gt_by_image[im] if a["category_id"] == class_id]
+        for a in objs:
+            gt_boxes.append(a["bbox"])
+            gt_diff.append(bool(a.get("difficult", 0)))
+        offsets.append(len(gt_boxes))
+    gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+    gt_diff = np.asarray(gt_diff, np.uint8)
+    offsets = np.asarray(offsets, np.int64)
+
+    conf = np.array([d[1] for d in dets])
+    order = np.argsort(-conf, kind="stable")
+    det_boxes = np.array([dets[i][2:] for i in order],
+                         np.float64).reshape(-1, 4)
+    det_img = np.array([img_index.get(dets[i][0], -1) for i in order],
+                       np.int32)
+    return det_boxes, det_img, gt_boxes, gt_diff, offsets
+
+
 def voc_eval_class(dets, gt_by_image, class_id: int, ovthresh: float,
                    use_07_metric: bool) -> float:
     """AP for one class. ``dets``: list of (image_id, score, x1, y1, x2, y2)
     with VOC 1-based coordinates (reference voc_eval,
-    pascal_voc_evaluation.py:237-352)."""
+    pascal_voc_evaluation.py:237-352). Uses the native C matcher
+    (native/eval_core.cpp) when available."""
+    from .. import native
+
+    if len(dets) and native.available():
+        det_boxes, det_img, gt_boxes, gt_diff, offsets = \
+            _native_class_arrays(dets, gt_by_image, class_id)
+        npos = int((gt_diff == 0).sum())
+        tp_a, fp_a = native.voc_match(det_boxes, det_img, gt_boxes, gt_diff,
+                                      offsets, ovthresh)
+        fp = np.cumsum(fp_a.astype(np.float64))
+        tp = np.cumsum(tp_a.astype(np.float64))
+        rec = tp / float(max(npos, 1))
+        prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+        return voc_ap(rec, prec, use_07_metric)
+
     class_recs, npos, _ = _gather_class_gt(gt_by_image, class_id)
     if len(dets) == 0:
         return 0.0
@@ -124,9 +163,18 @@ def voc_eval_corloc_class(dets, gt_by_image, class_id: int,
     """CorLoc for one class (reference voc_eval_corloc,
     pascal_voc_evaluation.py:353-455): per image, only the highest-scoring
     detection counts; correct if it overlaps any GT above threshold."""
+    from .. import native
+
     class_recs, _, npos_im = _gather_class_gt(gt_by_image, class_id)
     if len(dets) == 0 or npos_im == 0:
         return 0.0
+
+    if native.available():
+        det_boxes, det_img, gt_boxes, gt_diff, offsets = \
+            _native_class_arrays(dets, gt_by_image, class_id)
+        verdict = native.voc_corloc(det_boxes, det_img, gt_boxes, gt_diff,
+                                    offsets, ovthresh)
+        return float((verdict == 1).sum()) / float(npos_im)
     image_ids = [d[0] for d in dets]
     confidence = np.array([d[1] for d in dets])
     BB = np.array([d[2:] for d in dets], dtype=np.float64).reshape(-1, 4)
