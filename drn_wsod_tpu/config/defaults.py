@@ -129,6 +129,8 @@ def get_cfg() -> CfgNode:
     _C.DATASETS.PROPOSAL_FILES_VAL = ()
     _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 4000
     _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 4000
+    # Static slot count for padded instance GT (supervised retraining).
+    _C.DATASETS.MAX_GT_PER_IMAGE = 100
 
     # -------------------------------------------------------------- dataloader
     _C.DATALOADER = CfgNode()

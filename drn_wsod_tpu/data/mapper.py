@@ -52,6 +52,7 @@ class DatasetMapper:
         self.min_box_size = cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE
         self.topk = (cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN if is_train
                      else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST)
+        self.max_gt = cfg.DATASETS.MAX_GT_PER_IMAGE
 
         augs: List[T.Augmentation] = []
         if is_train:
@@ -93,7 +94,24 @@ class DatasetMapper:
         canvas = np.zeros((bucket, bucket, 3), dtype=np.float32)
         canvas[:h, :w] = image.astype(np.float32)
 
+        # padded instance GT (for the supervised pseudo-GT retraining head;
+        # WSOD heads read only the image-level labels)
+        G = self.max_gt
+        gt_boxes = np.zeros((G, 4), dtype=np.float32)
+        gt_classes = np.zeros((G,), dtype=np.int32)
+        gt_valid = np.zeros((G,), dtype=bool)
+        annos = [a for a in record.get("annotations", [])
+                 if not a.get("difficult", 0)]
+        for i, a in enumerate(annos[:G]):
+            b = tfms.apply_box(np.asarray([a["bbox"]], np.float32))[0]
+            gt_boxes[i] = np.clip(b, 0, [w, h, w, h])
+            gt_classes[i] = a["category_id"]
+            gt_valid[i] = True
+
         return {
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
             "image": canvas,
             "image_hw": np.asarray([h, w], dtype=np.int32),
             "orig_hw": np.asarray([orig_h, orig_w], dtype=np.int32),

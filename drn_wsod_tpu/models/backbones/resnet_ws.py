@@ -48,8 +48,10 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
         scale = weight / jnp.sqrt(var + self.eps)
-        # Fold into a single scale/shift so XLA fuses it into the conv epilogue.
-        return x * scale + (bias - mean * scale)
+        shift = bias - mean * scale
+        # Fold into a single scale/shift so XLA fuses it into the conv
+        # epilogue; keep the activation dtype (don't promote bf16 -> f32).
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def _conv(x, features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):

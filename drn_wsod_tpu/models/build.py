@@ -53,6 +53,10 @@ _HEAD_TYPES = {
     "OICRROIHeads": "OICR",
     "PCLROIHeads": "PCL",
     "CSCROIHeads": "CSC",
+    # supervised heads (pseudo-GT retraining): both d2 names map to the same
+    # fixed-shape FastRCNN path here
+    "StandardROIHeads": "FastRCNN",
+    "Res5ROIHeads": "FastRCNN",
 }
 
 
@@ -66,7 +70,7 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
 
     refine_reg = tuple(cfg.WSL.REFINE_REG)
     refine_k = cfg.WSL.REFINE_NUM
-    if _HEAD_TYPES[head_name] in ("WSDDN", "CSC"):
+    if _HEAD_TYPES[head_name] in ("WSDDN", "CSC", "FastRCNN"):
         # Pure WSDDN / CSC heads carry no refinement branches (the reference
         # csc_oicr variant combines them; configure via OICRROIHeads there).
         refine_k = 0

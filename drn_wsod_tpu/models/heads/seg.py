@@ -1,0 +1,149 @@
+"""WSJDS segmentation heads (weakly-supervised joint detection+segmentation).
+
+Re-implementation of the reference seg branch
+(projects/WSL/wsl/modeling/seg_heads/seg_heads.py:18-227 ASPP head,
+seg_heads/wsjds_heads.py mask branch): an ASPP semantic-segmentation head
+over the backbone features supervised by CPG-derived pseudo masks, with
+optional CRF refinement (ops/crf.py) at inference, plus a light per-RoI mask
+head. Everything static-shape; pseudo-mask mining is the CPG/CSC machinery
+already on device (ops/csc.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference detectron2/layers/aspp.py):
+    parallel 1x1 + dilated 3x3 convs + global pooling branch."""
+
+    out_channels: int = 256
+    dilations: Sequence[int] = (6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        branches = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="conv1x1")(x)]
+        for i, d in enumerate(self.dilations):
+            branches.append(nn.Conv(
+                self.out_channels, (3, 3), padding=[(d, d)] * 2,
+                kernel_dilation=(d, d), dtype=self.dtype,
+                name=f"conv3x3_d{d}")(x))
+        gp = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        gp = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                     name="pool_conv")(gp)
+        gp = jnp.broadcast_to(gp, branches[0].shape)
+        out = jnp.concatenate([nn.relu(b) for b in branches] + [nn.relu(gp)],
+                              axis=-1)
+        out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                      name="project")(out)
+        return nn.relu(out)
+
+
+class ASPPSegHead(nn.Module):
+    """Semantic segmentation head: ASPP -> classifier over C+1 classes
+    (background channel 0)."""
+
+    num_classes: int
+    aspp_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features):
+        x = ASPP(self.aspp_channels, dtype=self.dtype, name="aspp")(features)
+        logits = nn.Conv(self.num_classes + 1, (1, 1),
+                         kernel_init=nn.initializers.normal(0.01),
+                         dtype=jnp.float32, name="predictor")(x)
+        return logits.astype(jnp.float32)  # (B, Hf, Wf, C+1)
+
+
+class MaskRCNNHead(nn.Module):
+    """Per-RoI mask head (reference MaskRCNNConvUpsampleHead,
+    detectron2/modeling/roi_heads/mask_head.py): N convs -> 2x deconv ->
+    per-class mask logits."""
+
+    num_classes: int
+    num_conv: int = 4
+    conv_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats: (N, r, r, C) -> (N, 2r, 2r, num_classes)."""
+        x = roi_feats
+        for i in range(1, self.num_conv + 1):
+            x = nn.Conv(self.conv_dim, (3, 3), dtype=self.dtype,
+                        name=f"mask_fcn{i}")(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="deconv")(x)
+        x = nn.relu(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         kernel_init=nn.initializers.normal(0.001),
+                         dtype=jnp.float32, name="predictor")(x)
+        return logits.astype(jnp.float32)
+
+
+def seg_loss_from_cpg(seg_logits: jnp.ndarray, cpg: jnp.ndarray,
+                      labels: jnp.ndarray, image_hw: jnp.ndarray,
+                      fg_threshold: float = 0.5,
+                      bg_threshold: float = 0.1) -> jnp.ndarray:
+    """Weakly-supervised seg loss: CPG maps provide pseudo pixel labels
+    (reference wsjds_heads.py drives the mask branch from CPG/CSC).
+
+    seg_logits: (B, Hf, Wf, C+1); cpg: (B, C, H, W) normalized maps;
+    labels: (B, C). Pixels with CPG >= fg_threshold for a present class are
+    positives for it; pixels below bg_threshold for ALL present classes are
+    background; the rest are ignored.
+    """
+    B, Hf, Wf, C1 = seg_logits.shape
+    C = C1 - 1
+    # downsample CPG to the seg resolution
+    cpg_small = jax.image.resize(cpg, (B, C, Hf, Wf), "linear")
+    cpg_small = jnp.transpose(cpg_small, (0, 2, 3, 1))       # (B, Hf, Wf, C)
+    present = labels[:, None, None, :] > 0.5
+
+    fg = (cpg_small >= fg_threshold) & present
+    any_fg = jnp.any(fg, axis=-1)
+    bg = jnp.all(jnp.where(present, cpg_small < bg_threshold, True),
+                 axis=-1) & ~any_fg
+
+    # target: argmax over fg classes + 1; 0 for background
+    fg_cls = jnp.argmax(jnp.where(fg, cpg_small, -1.0), axis=-1)
+    target = jnp.where(any_fg, fg_cls + 1, 0)
+    valid = any_fg | bg
+
+    logp = jax.nn.log_softmax(seg_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, ce, 0.0)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+
+def mask_loss(mask_logits: jnp.ndarray, gt_class: jnp.ndarray,
+              target_masks: jnp.ndarray, fg_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-RoI BCE on the channel of the proposal's class
+    (reference mask_head.py mask_rcnn_loss).
+
+    mask_logits: (N, m, m, C); gt_class: (N,); target_masks: (N, m, m);
+    fg_mask: (N,) validity.
+    """
+    N, m, _, C = mask_logits.shape
+    cls = jnp.clip(gt_class, 0, C - 1)
+    sel = jnp.take_along_axis(mask_logits,
+                              cls[:, None, None, None], axis=-1)[..., 0]
+    bce = optax_sigmoid_bce(sel, target_masks)
+    bce = jnp.where(fg_mask[:, None, None], bce, 0.0)
+    denom = jnp.maximum(jnp.sum(fg_mask.astype(jnp.float32)) * m * m, 1.0)
+    return jnp.sum(bce) / denom
+
+
+def optax_sigmoid_bce(logits, targets):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_np = jax.nn.log_sigmoid(-logits)
+    return -(targets * log_p + (1.0 - targets) * log_np)

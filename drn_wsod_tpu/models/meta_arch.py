@@ -26,6 +26,7 @@ from ..ops import csc as csc_lib
 from ..ops import pcl as pcl_lib
 from ..structures import boxes as box_ops
 from .heads.box_head import DiscriminativeAdaptionNeck
+from .heads import fast_rcnn as fast_rcnn_lib
 from .heads import oicr as oicr_lib
 from .heads import wsddn as wsddn_lib
 
@@ -58,6 +59,13 @@ class GeneralizedRCNNWSL(nn.Module):
         self.dan = DiscriminativeAdaptionNeck(
             dan_dims=tuple(self.dan_dims), dropout_rate=self.dropout,
             dtype=self.dtype, name="box_head")
+        if self.head_type == "FastRCNN":
+            # supervised pseudo-GT retraining head (reference
+            # detectron2/modeling/roi_heads/fast_rcnn.py)
+            self.fast_predictor = fast_rcnn_lib.FastRCNNOutputLayers(
+                num_classes=self.num_classes,
+                cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+                dtype=self.dtype, name="box_predictor")
         if self.head_type in ("WSDDN", "OICR", "PCL", "CSC"):
             self.wsddn = wsddn_lib.WSDDNOutputLayers(
                 num_classes=self.num_classes, dtype=self.dtype,
@@ -132,6 +140,10 @@ class GeneralizedRCNNWSL(nn.Module):
         (reference CSCOutputs.csc_loss, fast_rcnn.py:888-935).
         """
         feats = self.features(batch.image)
+
+        if self.head_type == "FastRCNN":
+            return self._fast_rcnn_losses(feats, batch, train=train)
+
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=train)
@@ -177,6 +189,34 @@ class GeneralizedRCNNWSL(nn.Module):
 
         return losses
 
+    def _fast_rcnn_losses(self, feats, batch, *, train: bool):
+        """Supervised Fast R-CNN training on instance GT (pseudo-GT
+        retraining): subsample a fixed slot count per image FIRST, pool only
+        the sampled boxes (the reference pools after sampling too), then CE +
+        smooth-L1."""
+        rng = self.make_rng("dropout")
+        B = batch.image.shape[0]
+        sampled = jax.vmap(
+            lambda p, m, gb, gc, gv, r: fast_rcnn_lib.subsample_proposals(
+                p, m, gb, gc, gv, r)
+        )(batch.proposals, batch.proposal_mask, batch.gt_boxes,
+          batch.gt_classes, batch.gt_valid, jax.random.split(rng, B))
+
+        sel_boxes = jnp.take_along_axis(
+            batch.proposals, sampled.indices[..., None], axis=1)
+        sel_obj = jnp.take_along_axis(batch.objectness, sampled.indices,
+                                      axis=1)
+        box_feats = self.pooled_features(
+            feats, sel_boxes, sampled.valid, sel_obj, train=train)
+        cls_logits, deltas = self.fast_predictor(box_feats)
+
+        loss_cls, loss_box = jax.vmap(
+            lambda cl, d, p, s: fast_rcnn_lib.fast_rcnn_losses(
+                cl, d, p, s, self.num_classes, tuple(self.reg_weights))
+        )(cls_logits, deltas, batch.proposals, sampled)
+        return {"loss_cls": jnp.mean(loss_cls),
+                "loss_box_reg": jnp.mean(loss_box)}
+
     # -------------------------------------------------------------- inference
     def inference_scores(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Full score/box matrices for NMS & TTA.
@@ -191,6 +231,14 @@ class GeneralizedRCNNWSL(nn.Module):
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=False)
+
+        if self.head_type == "FastRCNN":
+            cls_logits, deltas = self.fast_predictor(box_feats)
+            scores = jax.nn.softmax(cls_logits, axis=-1)
+            boxes = box_ops.apply_deltas(deltas, batch.proposals,
+                                         tuple(self.reg_weights))
+            mask = batch.proposal_mask[..., None]
+            return jnp.where(mask, scores, 0.0), boxes
 
         if self.head_type == "WSDDN" or self.refine_k == 0:
             scores = self.wsddn(box_feats, batch.proposal_mask)

@@ -38,6 +38,11 @@ class WSODBatch:
     objectness: jnp.ndarray
     labels: jnp.ndarray
     image_id: jnp.ndarray
+    # Padded instance GT — used by the supervised Fast R-CNN head (pseudo-GT
+    # retraining); WSOD heads only read the image-level ``labels``.
+    gt_boxes: Optional[jnp.ndarray] = None    # (B, G, 4)
+    gt_classes: Optional[jnp.ndarray] = None  # (B, G) int32
+    gt_valid: Optional[jnp.ndarray] = None    # (B, G) bool
 
     @property
     def batch_size(self) -> int:

@@ -136,6 +136,55 @@ def make_tta_detect_fn(model, score_thresh: float, nms_thresh: float,
     return detect
 
 
+def make_tta_union_detect_fn(model, score_thresh: float, nms_thresh: float,
+                             topk: int):
+    """Union-style TTA (reference GeneralizedRCNNWithTTAUNION,
+    test_time_augmentation_union.py:228-258): run per-view NMS'd detections,
+    union the survivors across views, and NMS once more. On device this is:
+    per-view keep masks -> candidate scores masked by (kept in any view) ->
+    final NMS over the union."""
+    from .ops.nms import multiclass_nms
+
+    @jax.jit
+    def detect(variables, batch, inv):
+        scores, boxes = model.apply(variables, batch,
+                                    method="inference_scores")
+        V, P, C1 = scores.shape
+        C = C1 - 1
+        inv_boxes = _invert_boxes(boxes, inv)                # (V, P, 4)
+
+        # A candidate (proposal, class) slot is in the union if it survived
+        # at least one view's per-class NMS; it carries its best surviving
+        # view score (the reference rebuilds the same sparse score matrix,
+        # test_time_augmentation_union.py:243-252).
+        from .ops.nms import nms_mask
+        from .structures import boxes as box_ops
+
+        def view_keep(b, s, m):
+            iou = box_ops.pairwise_iou(b, b)
+
+            def per_class(c):
+                sc = s[:, c]
+                v_ = m & (sc > score_thresh) & jnp.isfinite(sc)
+                return nms_mask(b, sc, v_, nms_thresh, iou=iou)
+
+            return jax.lax.map(per_class, jnp.arange(C)).T   # (P, C)
+
+        keeps = jax.vmap(view_keep)(inv_boxes, scores[..., :C],
+                                    batch.proposal_mask)     # (V, P, C)
+        any_keep = jnp.any(keeps, axis=0)
+        best_scores = jnp.max(jnp.where(keeps, scores[..., :C], 0.0), axis=0)
+        union = jnp.where(any_keep, best_scores, 0.0)
+        mean_boxes = jnp.mean(inv_boxes, axis=0)
+
+        dets = multiclass_nms(mean_boxes, union, batch.proposal_mask[0],
+                              iou_threshold=nms_thresh,
+                              score_threshold=score_thresh, topk=topk)
+        return dets
+
+    return detect
+
+
 class GeneralizedRCNNWithTTAAVG:
     """Host-facing wrapper: record -> TTA detections (original frame)."""
 

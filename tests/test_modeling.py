@@ -33,6 +33,7 @@ def tiny_batch(B=2, P=8, H=64, W=64, C=4, seed=0):
     labels[:, :2] = 1.0
     mask = np.ones((B, P), dtype=bool)
     mask[:, -2:] = False
+    G = 4
     return WSODBatch(
         image=jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
         image_hw=jnp.full((B, 2), H, dtype=jnp.int32),
@@ -42,6 +43,9 @@ def tiny_batch(B=2, P=8, H=64, W=64, C=4, seed=0):
         objectness=jnp.asarray(rng.uniform(0, 1, (B, P)).astype(np.float32)),
         labels=jnp.asarray(labels),
         image_id=jnp.arange(B, dtype=jnp.int32),
+        gt_boxes=jnp.asarray(proposals[:, :G]),
+        gt_classes=jnp.zeros((B, G), dtype=jnp.int32),
+        gt_valid=jnp.ones((B, G), dtype=bool),
     )
 
 
