@@ -47,6 +47,10 @@ def get_cfg() -> CfgNode:
     _C.MODEL.RESNETS.RES5_DILATION = 2
     _C.MODEL.RESNETS.NORM = "FrozenBN"
 
+    _C.MODEL.FPN = CfgNode()
+    _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.FPN.OUT_CHANNELS = 256
+
     _C.MODEL.VGG = CfgNode()
     _C.MODEL.VGG.DEPTH = 16
     _C.MODEL.VGG.OUT_FEATURES = ["plain5"]

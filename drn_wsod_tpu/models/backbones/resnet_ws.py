@@ -182,21 +182,32 @@ class ResNetWS(nn.Module):
     res2_out_channels: int = 256
     res5_dilation: int = 2
     out_features: Sequence[str] = ("res5",)
+    pyramid: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def stage_specs(depth: int, res5_dilation: int,
                     res2_out_channels: int, bottleneck_channels: int,
-                    max_stage: int = 5) -> List[dict]:
-        """Per-stage structural parameters, mirroring resnet_ws.py:671-678."""
+                    max_stage: int = 5, pyramid: bool = False) -> List[dict]:
+        """Per-stage structural parameters, mirroring resnet_ws.py:671-678.
+
+        ``pyramid=True`` is this framework's FPN variant: the WS design keeps
+        all downsampling in trailing max-pools, so a strided pyramid
+        (4/8/16/32) is built by pooling after res3/res4/res5 instead of
+        res2/res3 only (the reference has no WS+FPN combination)."""
         num_blocks = NUM_BLOCKS_PER_STAGE[depth]
         specs = []
         out_channels = res2_out_channels
         bc = bottleneck_channels
         for idx, stage_idx in enumerate(range(2, max_stage + 1)):
-            dilation = res5_dilation if stage_idx in (4, 5) else 1
-            first_stride = 2 if idx == 0 or (stage_idx == 3 and res5_dilation == 1) else 1
-            has_pool = stage_idx in (2, 3)
+            if pyramid:
+                dilation = 1
+                first_stride = 2
+                has_pool = stage_idx >= 3
+            else:
+                dilation = res5_dilation if stage_idx in (4, 5) else 1
+                first_stride = 2 if idx == 0 or (stage_idx == 3 and res5_dilation == 1) else 1
+                has_pool = stage_idx in (2, 3)
             specs.append(dict(
                 stage=f"res{stage_idx}",
                 num_blocks=num_blocks[idx],
@@ -216,7 +227,8 @@ class ResNetWS(nn.Module):
         strides = {}
         for spec in self.stage_specs(self.depth, self.res5_dilation,
                                      self.res2_out_channels,
-                                     self.num_groups * self.width_per_group):
+                                     self.num_groups * self.width_per_group,
+                                     pyramid=self.pyramid):
             if spec["has_pool"]:
                 stride *= spec["pool_stride"]
             strides[spec["stage"]] = stride
@@ -228,7 +240,8 @@ class ResNetWS(nn.Module):
         chans = {}
         for spec in self.stage_specs(self.depth, self.res5_dilation,
                                      self.res2_out_channels,
-                                     self.num_groups * self.width_per_group):
+                                     self.num_groups * self.width_per_group,
+                                     pyramid=self.pyramid):
             chans[spec["stage"]] = spec["out_channels"]
         return chans
 
@@ -245,7 +258,7 @@ class ResNetWS(nn.Module):
         specs = self.stage_specs(self.depth, self.res5_dilation,
                                  self.res2_out_channels,
                                  self.num_groups * self.width_per_group,
-                                 max_stage=max_stage)
+                                 max_stage=max_stage, pyramid=self.pyramid)
         for spec in specs:
             for b in range(spec["num_blocks"]):
                 last = b == spec["num_blocks"] - 1

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..config import CfgNode
 from .backbones import build_vgg_backbone, build_ws_resnet_backbone
+from .backbones.fpn import build_resnet_fpn_backbone
 from .meta_arch import GeneralizedRCNNWSL
 
 
@@ -47,6 +48,7 @@ META_ARCH_REGISTRY = Registry("META_ARCH")
 
 BACKBONE_REGISTRY.register("build_ws_resnet_backbone")(build_ws_resnet_backbone)
 BACKBONE_REGISTRY.register("build_vgg_backbone")(build_vgg_backbone)
+BACKBONE_REGISTRY.register("build_resnet_fpn_backbone")(build_resnet_fpn_backbone)
 
 _HEAD_TYPES = {
     "WSDDNROIHeads": "WSDDN",
@@ -63,7 +65,10 @@ _HEAD_TYPES = {
 @META_ARCH_REGISTRY.register("GeneralizedRCNNWSL")
 def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
     backbone, strides, channels = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
-    feature_name = cfg.MODEL.ROI_HEADS.IN_FEATURES[0]
+    in_features = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
+    feature_name = in_features[0]
+    pyramid = (tuple((f, strides[f]) for f in in_features)
+               if len(in_features) > 1 else None)
     head_name = cfg.MODEL.ROI_HEADS.NAME
     if head_name not in _HEAD_TYPES:
         raise KeyError(f"Unknown ROI head {head_name}")
@@ -81,6 +86,7 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         backbone=backbone,
         feature_name=feature_name,
         feature_stride=strides[feature_name],
+        pyramid_strides=pyramid,
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
         head_type=_HEAD_TYPES[head_name],
         refine_k=refine_k,

@@ -37,6 +37,10 @@ class GeneralizedRCNNWSL(nn.Module):
     backbone: nn.Module
     feature_name: str = "res5"
     feature_stride: int = 8
+    # Multi-level (FPN) pooling: names + strides of the pyramid levels used
+    # by the box pooler (reference ROIPooler level assignment,
+    # detectron2/modeling/poolers.py:23-246). None => single level.
+    pyramid_strides: Optional[Tuple[Tuple[str, int], ...]] = None
     num_classes: int = 20
     head_type: str = "OICR"            # WSDDN | OICR | PCL (PCL varies losses)
     refine_k: int = 3
@@ -86,10 +90,13 @@ class GeneralizedRCNNWSL(nn.Module):
         std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
         return ((image - mean) / std).astype(self.dtype)
 
-    def features(self, image: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) raw pixels -> (B, Hf, Wf, C) feature map."""
+    def features(self, image: jnp.ndarray):
+        """(B, H, W, 3) raw pixels -> (B, Hf, Wf, C) map, or a dict of
+        pyramid levels when configured with an FPN backbone."""
         x = self.preprocess(image)
-        feats = self.backbone(x)[self.feature_name]
+        out = self.backbone(x)
+        feats = (out if self.pyramid_strides is not None
+                 else out[self.feature_name])
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         return feats
@@ -100,14 +107,27 @@ class GeneralizedRCNNWSL(nn.Module):
         scale = 1.0 / self.feature_stride
         res = self.pooler_resolution
 
-        def pool_one(fmap, boxes):
-            if self.pooler_type == "ROIPool":
-                return roi_pool(fmap, boxes, scale, resolution=res)
-            aligned = self.pooler_type == "ROIAlignV2"
-            return roi_align(
-                fmap, boxes, scale, resolution=res,
-                sampling_ratio=max(self.pooler_sampling_ratio, 1),
-                aligned=aligned)
+        if self.pyramid_strides is not None:
+            from ..ops.poolers import multilevel_roi_pool
+
+            strides = dict(self.pyramid_strides)
+            names = [n for n, _ in self.pyramid_strides]
+
+            def pool_one(fmap_dict, boxes):
+                return multilevel_roi_pool(
+                    fmap_dict, strides, boxes, names, resolution=res,
+                    pooler_type=self.pooler_type,
+                    sampling_ratio=max(self.pooler_sampling_ratio, 1))
+
+        else:
+            def pool_one(fmap, boxes):
+                if self.pooler_type == "ROIPool":
+                    return roi_pool(fmap, boxes, scale, resolution=res)
+                aligned = self.pooler_type == "ROIAlignV2"
+                return roi_align(
+                    fmap, boxes, scale, resolution=res,
+                    sampling_ratio=max(self.pooler_sampling_ratio, 1),
+                    aligned=aligned)
 
         pooled = jax.vmap(pool_one)(feats, proposals)      # (B, P, r, r, C)
         if self.use_objectness:

@@ -1,0 +1,96 @@
+"""Data pipeline tests: VOC loader, proposal attach, mapper, bucketed
+loaders (reference pattern: tests/data/)."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_e2e_train import CLASSES, make_voc_dataset, tiny_e2e_cfg  # noqa: E402
+
+from drn_wsod_tpu.data import (DatasetCatalog, DatasetMapper,  # noqa: E402
+                               build_detection_test_loader,
+                               build_detection_train_loader,
+                               get_detection_dataset_dicts)
+from drn_wsod_tpu.data.datasets.voc import (load_voc_instances,  # noqa: E402
+                                            register_pascal_voc)
+
+
+def setup_ds(tmp_path, name_prefix):
+    d, prop_file = make_voc_dataset(str(tmp_path))
+    names = (f"{name_prefix}_train", f"{name_prefix}_test")
+    for n in names:
+        if n in DatasetCatalog:
+            DatasetCatalog.remove(n)
+    register_pascal_voc(names[0], d, "train", 2007, CLASSES)
+    register_pascal_voc(names[1], d, "test", 2007, CLASSES)
+    return d, prop_file, names
+
+
+def test_load_voc_instances(tmp_path):
+    d, _, _ = setup_ds(tmp_path, "dp0")
+    recs = load_voc_instances(d, "train", CLASSES)
+    assert len(recs) == 5
+    r = recs[0]
+    assert r["height"] == 64 and r["width"] == 64
+    assert len(r["annotations"]) == 1
+    a = r["annotations"][0]
+    assert 0 <= a["category_id"] < len(CLASSES)
+    x1, y1, x2, y2 = a["bbox"]
+    assert x2 > x1 and y2 > y1
+
+
+def test_proposals_attached_sorted(tmp_path):
+    _, prop_file, names = setup_ds(tmp_path, "dp1")
+    recs = get_detection_dataset_dicts([names[0]], [prop_file])
+    r = recs[0]
+    assert "proposal_boxes" in r
+    logits = r["proposal_objectness_logits"]
+    assert (np.diff(logits) <= 1e-6).all()  # descending
+
+
+def test_mapper_static_shapes(tmp_path):
+    _, prop_file, names = setup_ds(tmp_path, "dp2")
+    cfg = tiny_e2e_cfg(tmp_path, prop_file)
+    cfg.DATASETS.TRAIN = (names[0],)
+    mapper = DatasetMapper(cfg, is_train=True)
+    recs = get_detection_dataset_dicts([names[0]], [prop_file])
+    rng = np.random.RandomState(0)
+    s = mapper(recs[0], rng)
+    P = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+    assert s["image"].shape == (64, 64, 3)
+    assert s["proposals"].shape == (P, 4)
+    assert s["proposal_mask"].sum() > 0
+    assert s["labels"].shape == (2,)
+    assert s["gt_valid"].sum() == 1
+
+
+def test_train_loader_batches(tmp_path):
+    _, prop_file, names = setup_ds(tmp_path, "dp3")
+    cfg = tiny_e2e_cfg(tmp_path, prop_file)
+    cfg.DATASETS.TRAIN = (names[0],)
+    cfg.DATALOADER.PREFETCH = 0
+    loader = build_detection_train_loader(cfg, DatasetMapper(cfg, True))
+    it = iter(loader)
+    for _ in range(3):
+        b = next(it)
+        assert b.image.shape[0] == cfg.SOLVER.IMS_PER_BATCH
+        assert b.proposals.shape[1] == cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+
+
+def test_test_loader_covers_all_once(tmp_path):
+    _, prop_file, names = setup_ds(tmp_path, "dp4")
+    cfg = tiny_e2e_cfg(tmp_path, prop_file)
+    cfg.DATASETS.TEST = (names[1],)
+    cfg.DATASETS.PROPOSAL_FILES_TEST = (prop_file,)
+    cfg.DATALOADER.PREFETCH = 0
+    loader = build_detection_test_loader(cfg, names[1],
+                                         DatasetMapper(cfg, False),
+                                         batch_size=2)
+    seen = []
+    for batch, n_real in loader:
+        ids = np.asarray(batch.image_id)[:n_real]
+        seen.extend(ids.tolist())
+    assert sorted(seen) == list(range(5))
