@@ -91,6 +91,10 @@ def get_cfg() -> CfgNode:
     _C.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT = 1.0
     _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
     _C.MODEL.ROI_BOX_HEAD.DROPOUT = 0.5
+    # Pallas VMEM-resident RoIPool kernel (forward-only; falls back to the
+    # XLA gather formulation when disabled or when grads to features are
+    # required, e.g. CSC's backprop-to-image).
+    _C.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER = True
 
     # ------------------------------------------------------------------- wsl
     # Reference: projects/WSL/wsl/config/defaults.py:7-43

@@ -1,0 +1,51 @@
+"""Model export.
+
+TPU-native equivalent of the reference export layer
+(detectron2/export/api.py: Caffe2 tracing / TorchScript): the deployment
+artifact here is a serialized StableHLO program via ``jax.export`` — the
+portable, runtime-loadable form of an XLA model (loadable from JAX, TF
+(tf.XlaCallModule) or IFRT serving stacks).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def export_inference(model, variables, batch, path: Optional[str] = None):
+    """Serialize the inference forward (scores + boxes) for the given
+    example batch shapes. Returns the serialized bytes (and writes them to
+    ``path`` if given)."""
+    from jax import export as jax_export
+
+    def forward(variables, batch):
+        return model.apply(variables, batch, method="inference_scores")
+
+    exported = jax_export.export(jax.jit(forward))(variables, batch)
+    data = exported.serialize()
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        logger.info(f"Exported inference program ({len(data)} bytes) "
+                    f"to {path}")
+    return data
+
+
+def load_exported(path_or_bytes):
+    """Deserialize an exported program; returns an object whose ``.call``
+    runs it."""
+    from jax import export as jax_export
+
+    data = path_or_bytes
+    if isinstance(path_or_bytes, str):
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    return jax_export.deserialize(bytearray(data))

@@ -94,6 +94,11 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
         pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2,
+        # CSC backprops image gradients THROUGH the pooler (CPG maps), and
+        # the Pallas kernel is forward-only — use the differentiable gather
+        # formulation there.
+        use_pallas_pooler=(cfg.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER
+                           and _HEAD_TYPES[head_name] != "CSC"),
         dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
         dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
         mean_loss=cfg.WSL.MEAN_LOSS,

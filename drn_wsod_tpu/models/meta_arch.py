@@ -48,6 +48,7 @@ class GeneralizedRCNNWSL(nn.Module):
     pooler_type: str = "ROIPool"       # ROIPool | ROIAlign | ROIAlignV2
     pooler_resolution: int = 7
     pooler_sampling_ratio: int = 2
+    use_pallas_pooler: bool = True
     dan_dims: Sequence[int] = (4096, 4096)
     dropout: float = 0.5
     mean_loss: bool = True
@@ -122,6 +123,14 @@ class GeneralizedRCNNWSL(nn.Module):
         else:
             def pool_one(fmap, boxes):
                 if self.pooler_type == "ROIPool":
+                    if self.use_pallas_pooler:
+                        # VMEM-resident Pallas kernel (forward-only; fine
+                        # because the frozen backbone needs no feature grads)
+                        from ..ops.roi_pool_pallas import roi_pool_pallas
+
+                        return roi_pool_pallas(
+                            fmap, boxes, scale, resolution=res,
+                            interpret=jax.default_backend() == "cpu")
                     return roi_pool(fmap, boxes, scale, resolution=res)
                 aligned = self.pooler_type == "ROIAlignV2"
                 return roi_align(

@@ -89,7 +89,8 @@ def roi_align(
     def pool_chunk(args):
         cx1, cy1, cbw, cbh = args
         n = cx1.shape[0]
-        acc = jnp.zeros((n, R, R, C), dtype=jnp.float32)
+        dt = features.dtype
+        acc = jnp.zeros((n, R, R, C), dtype=dt)
         for iy in range(S):
             ys = cy1[:, None] + (ph[None, :] + (iy + 0.5) / S) * cbh[:, None]
             yl, yh, wyl, wyh = _bilinear_1d(ys, H)
@@ -97,15 +98,15 @@ def roi_align(
                 xs = cx1[:, None] + (ph[None, :] + (ix + 0.5) / S) * cbw[:, None]
                 xl, xh, wxl, wxh = _bilinear_1d(xs, W)
                 v = (_gather_rr(flat, yl, xl, W, C)
-                     * (wyl[:, :, None] * wxl[:, None, :])[..., None]
+                     * (wyl[:, :, None] * wxl[:, None, :])[..., None].astype(dt)
                      + _gather_rr(flat, yl, xh, W, C)
-                     * (wyl[:, :, None] * wxh[:, None, :])[..., None]
+                     * (wyl[:, :, None] * wxh[:, None, :])[..., None].astype(dt)
                      + _gather_rr(flat, yh, xl, W, C)
-                     * (wyh[:, :, None] * wxl[:, None, :])[..., None]
+                     * (wyh[:, :, None] * wxl[:, None, :])[..., None].astype(dt)
                      + _gather_rr(flat, yh, xh, W, C)
-                     * (wyh[:, :, None] * wxh[:, None, :])[..., None])
-                acc = acc + v.astype(jnp.float32)
-        return (acc / (S * S)).astype(features.dtype)
+                     * (wyh[:, :, None] * wxh[:, None, :])[..., None].astype(dt))
+                acc = acc + v
+        return acc / jnp.asarray(S * S, dtype=dt)
 
     ch = min(chunk, P)
     if P % ch != 0:
@@ -149,7 +150,6 @@ def roi_pool(  # noqa: C901
 
     ph = jnp.arange(R, dtype=jnp.int32)
     flat = features.reshape(H * W, C)
-    neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
 
     def bounds(start, roi_size):
         # torchvision: hstart = floor(ph * roi/R) + y1, hend = ceil((ph+1) *
@@ -162,27 +162,25 @@ def roi_pool(  # noqa: C901
                 hi.astype(jnp.float32))
 
     def pool_chunk(args):
+        # Lean hot path: pure gathers + running max in the feature dtype.
+        # No per-sample masks: sample position lo + floor(i*span/S) is always
+        # inside [lo, hi) for span >= 1, and spans are >= 1 because the data
+        # pipeline clips proposals to the image (degenerate/padded boxes pool
+        # cell 0 and are masked downstream). Out-of-map indices are clamped,
+        # matching torchvision's coordinate clamping.
         cx1, cy1, cbw, cbh = args
-        n = cx1.shape[0]
         hs, he = bounds(cy1, cbh)                  # (n, R)
         ws, we = bounds(cx1, cbw)
-        acc = jnp.full((n, R, R, C), neg_inf)
+        acc = None
         for iy in range(S):
-            # position lo + floor(i * span / S): covers every integer cell
-            # when span <= S
             ypos = hs + jnp.floor(iy * (he - hs) / S)
-            yval = (iy * (he - hs) / S < (he - hs)) & (ypos < H)
             yi = jnp.clip(ypos, 0, H - 1).astype(jnp.int32)
             for ix in range(S):
                 xpos = ws + jnp.floor(ix * (we - ws) / S)
-                xval = (ix * (we - ws) / S < (we - ws)) & (xpos < W)
                 xi = jnp.clip(xpos, 0, W - 1).astype(jnp.int32)
-                v = _gather_rr(flat, yi, xi, W, C).astype(jnp.float32)
-                m = (yval[:, :, None] & xval[:, None, :])[..., None]
-                acc = jnp.maximum(acc, jnp.where(m, v, neg_inf))
-        # Empty bins (hend <= hstart after clipping) -> 0 (torchvision).
-        out = jnp.where(jnp.isfinite(acc), acc, 0.0)
-        return out.astype(features.dtype)
+                v = _gather_rr(flat, yi, xi, W, C)
+                acc = v if acc is None else jnp.maximum(acc, v)
+        return acc
 
     ch = min(chunk, P)
     if P % ch != 0:

@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for RoIPool.
+
+The XLA gather formulation of RoI pooling re-reads the (small) feature map
+from HBM for every sampled cell: ~3.3 GB of gather traffic against a ~30 MB
+map per image (measured ~90 ms of a ~200 ms train step). This kernel keeps a
+channel tile of the ENTIRE feature map resident in VMEM and walks the RoIs
+against it, so HBM traffic collapses to (read map once per channel tile) +
+(write pooled output once).
+
+Structure:
+  grid = (C_tiles, RoI_blocks)           # RoI innermost: the feature tile's
+  feature block (H, W8, CT) -> VMEM      # index map is constant in the RoI
+  sample coords (RB, R, S)   -> SMEM     # dim, so Pallas keeps it resident
+  out block (RB, R*R, CT)    -> VMEM
+
+Mosaic alignment: dynamic indexing is only unconstrained on untiled (leading)
+dims, so the kernel indexes H dynamically (dim 0), loads an 8-aligned window
+along W (the sublane dim, pre-padded to a multiple of 8) and selects the
+target column with an iota mask + max — bins are statically unrolled so the
+output stores use constant sublane indices.
+
+Sample positions (integer cell coords, torchvision quantized-bin semantics)
+are precomputed by XLA exactly as in ops/roi_align.roi_pool; the kernel only
+max-reduces gathered vectors. Forward-only: WSOD freezes the backbone
+(FREEZE_AT 5), so no gradient ever flows to the feature map and the backward
+kernel is unnecessary (stop_gradient upstream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sample_positions(boxes, spatial_scale, H, W, R, S):
+    """Integer sample coords (P, R, S) per axis — same math as
+    ops/roi_align.roi_pool (exact integer bin edges)."""
+    scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
+    x1, y1 = scaled[:, 0], scaled[:, 1]
+    x2, y2 = scaled[:, 2], scaled[:, 3]
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    ph = jnp.arange(R, dtype=jnp.int32)
+
+    def axis_positions(start, roi_size, size):
+        lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
+        hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
+        lo = jnp.maximum(lo, 0)
+        span = hi - lo
+        i = jnp.arange(S, dtype=jnp.int32)
+        pos = lo[..., None] + (i[None, None, :] * span[..., None]) // S
+        return jnp.clip(pos, 0, size - 1)                   # (P, R, S)
+
+    ys = axis_positions(y1, roi_h, H)
+    xs = axis_positions(x1, roi_w, W)
+    return ys, xs
+
+
+def _make_kernel(RB, R, S, CT, neg_val: float, dtype):
+    def kernel(ys_ref, xs_ref, feat_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
+        neg = jnp.asarray(neg_val, dtype=dtype)
+
+        def roi_body(i, _):
+            for b in range(R * R):           # static: aligned output stores
+                py, px = b // R, b % R
+                acc = None
+                for sy in range(S):
+                    for sx in range(S):
+                        y = ys_ref[i, py, sy]
+                        x = xs_ref[i, px, sx]
+                        x8 = (x // 8) * 8
+                        rows = feat_ref[y, pl.ds(x8, 8), :]   # (8, CT)
+                        sel = jnp.where(lane == x - x8, rows, neg)
+                        m = jnp.max(sel, axis=0)              # (CT,)
+                        acc = m if acc is None else jnp.maximum(acc, m)
+                out_ref[i, b, :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, RB, roi_body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("spatial_scale", "resolution", "samples",
+                                   "roi_block", "c_tile", "interpret"))
+def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
+                    spatial_scale: float, resolution: int = 7,
+                    samples: int = 2, roi_block: int = 16,
+                    c_tile: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, max."""
+    H, W, C = features.shape
+    P = boxes.shape[0]
+    R, S = resolution, samples
+    RB = min(roi_block, P)
+    while P % RB != 0:
+        RB //= 2
+    CT = min(c_tile, C)
+    while C % CT != 0:
+        CT //= 2
+
+    ys, xs = _sample_positions(boxes, spatial_scale, H, W, R, S)
+
+    # pad W (sublane dim) to a multiple of 8 for aligned window loads
+    W8 = -(-W // 8) * 8
+    if W8 != W:
+        features = jnp.pad(features, ((0, 0), (0, W8 - W), (0, 0)))
+
+    neg_val = float(jnp.finfo(features.dtype).min)
+    grid = (C // CT, P // RB)
+    out = pl.pallas_call(
+        _make_kernel(RB, R, S, CT, neg_val, features.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
+        interpret=interpret,
+    )(ys, xs, features)
+    return out.reshape(P, R, R, C)

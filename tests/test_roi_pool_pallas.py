@@ -1,0 +1,29 @@
+"""Pallas RoIPool kernel: parity with the XLA gather formulation
+(interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drn_wsod_tpu.ops.roi_align import roi_pool
+from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_xla(seed):
+    rng = np.random.RandomState(seed)
+    H = W = 24
+    C = 8
+    P = 8
+    feat = rng.randn(H, W, C).astype(np.float32)
+    x1 = rng.uniform(0, W * 4, P).astype(np.float32)
+    y1 = rng.uniform(0, H * 4, P).astype(np.float32)
+    bw = rng.uniform(16, 80, P).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bw], -1)
+
+    want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25,
+                               resolution=7, samples=2))
+    got = np.asarray(roi_pool_pallas(jnp.asarray(feat), jnp.asarray(boxes),
+                                     0.25, resolution=7, samples=2,
+                                     roi_block=4, c_tile=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
