@@ -1,0 +1,121 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from drn_wsod_tpu.engine import (CommonMetricPrinter, EventStorage, JSONWriter,
+                                 Trainer, TrainState, create_train_state,
+                                 get_event_storage, make_train_step)
+from drn_wsod_tpu.engine.hooks import EvalHook, HookBase, IterationTimer
+
+
+def test_event_storage_scalars_and_smoothing():
+    with EventStorage(0) as s:
+        for i in range(30):
+            s.put_scalar("loss", float(i))
+            s.step()
+        assert get_event_storage() is s
+        assert s.history("loss").latest() == 29.0
+        assert 0 < s.history("loss").median(20) < 29
+        lat = s.latest_with_smoothing_hint()
+        assert "loss" in lat
+
+
+def test_json_writer(tmp_path):
+    f = str(tmp_path / "metrics.json")
+    w = JSONWriter(f)
+    with EventStorage(5) as s:
+        s.put_scalar("loss", 1.5)
+        w.write(s)
+    w.close()
+    rec = json.loads(open(f).read().strip())
+    assert rec["iteration"] == 5
+    assert rec["loss"] == 1.5
+
+
+class _ToyModel:
+    """Quadratic bowl 'model' compatible with make_train_step."""
+
+    def apply(self, variables, batch, train=True, rngs=None):
+        w = variables["params"]["w"]
+        return {"loss": jnp.sum((w - batch) ** 2)}
+
+
+def _toy_setup():
+    model = _ToyModel()
+    variables = {"params": {"w": jnp.asarray(5.0)}}
+    tx = optax.sgd(0.1)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    return step, state
+
+
+def test_trainer_loop_with_hooks():
+    step, state = _toy_setup()
+    batches = iter(lambda: jnp.asarray(1.0), None)
+
+    events = []
+
+    class Recorder(HookBase):
+        def before_train(self):
+            events.append("before_train")
+
+        def before_step(self):
+            events.append(("before", self.trainer.iter))
+
+        def after_step(self):
+            events.append(("after", self.trainer.iter))
+
+        def after_train(self):
+            events.append("after_train")
+
+    tr = Trainer(step, state, batches, jax.random.PRNGKey(0), log_period=2)
+    tr.register_hooks([IterationTimer(), Recorder()])
+    tr.train(0, 5)
+    assert events[0] == "before_train" and events[-1] == "after_train"
+    assert ("before", 0) in events and ("after", 4) in events
+    # loss decreased (w moved towards 1.0)
+    w = float(tr.state.params["params"]["w"])
+    assert abs(w - 1.0) < abs(5.0 - 1.0)
+    assert int(tr.state.step) == 5
+
+
+def test_trainer_nan_guard():
+    model = _ToyModel()
+    variables = {"params": {"w": jnp.asarray(jnp.nan)}}
+    tx = optax.sgd(0.1)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    tr = Trainer(step, state, iter(lambda: jnp.asarray(1.0), None),
+                 jax.random.PRNGKey(0), log_period=1)
+    with pytest.raises(FloatingPointError):
+        tr.train(0, 2)
+
+
+def test_eval_hook_runs_at_end():
+    step, state = _toy_setup()
+    calls = []
+
+    tr = Trainer(step, state, iter(lambda: jnp.asarray(1.0), None),
+                 jax.random.PRNGKey(0))
+    tr.register_hooks([EvalHook(0, lambda: calls.append(1) or
+                                {"bbox": {"AP50": 1.0}})])
+    tr.train(0, 3)
+    assert len(calls) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from drn_wsod_tpu.checkpoint import Checkpointer
+
+    step, state = _toy_setup()
+    ck = Checkpointer(str(tmp_path / "ck"))
+    state2, metrics = step(state, jnp.asarray(1.0), jax.random.PRNGKey(0))
+    ck.save(state2, 1)
+    restored = ck.load(state)
+    np.testing.assert_allclose(float(restored.params["params"]["w"]),
+                               float(state2.params["params"]["w"]))
+    assert ck.latest_step() == 1
