@@ -104,8 +104,10 @@ def make_csc_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = No
         csc_w = jax.lax.stop_gradient((W, PL, NL))
 
         def loss_fn(variables):
+            # cpg also supervises the WSJDS semantic branch when with_seg
             losses = model.apply(variables, batch, train=True,
-                                 rngs={"dropout": step_rng}, csc_w=csc_w)
+                                 rngs={"dropout": step_rng}, csc_w=csc_w,
+                                 cpg=jax.lax.stop_gradient(cpg))
             if loss_weights:
                 losses = {k: v * loss_weights.get(k, 1.0)
                           for k, v in losses.items()}

@@ -55,6 +55,7 @@ _HEAD_TYPES = {
     "OICRROIHeads": "OICR",
     "PCLROIHeads": "PCL",
     "CSCROIHeads": "CSC",
+    "WSJDSROIHeads": "CSC",   # CSC machinery + semantic seg branch
     # supervised heads (pseudo-GT retraining): both d2 names map to the same
     # fixed-shape FastRCNN path here
     "StandardROIHeads": "FastRCNN",
@@ -108,6 +109,7 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
+        with_seg=head_name == "WSJDSROIHeads" or cfg.MODEL.MASK_ON,
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
     )
 

@@ -58,6 +58,10 @@ class GeneralizedRCNNWSL(nn.Module):
     pixel_mean: Sequence[float] = (102.9801, 115.9465, 122.7717)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     freeze_backbone: bool = True
+    # WSJDS joint detection+segmentation: adds an ASPP semantic head over the
+    # backbone features, trained from CPG pseudo-labels inside the CSC step
+    # (reference projects/WSL/wsl/modeling/seg_heads/).
+    with_seg: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -75,6 +79,11 @@ class GeneralizedRCNNWSL(nn.Module):
             self.wsddn = wsddn_lib.WSDDNOutputLayers(
                 num_classes=self.num_classes, dtype=self.dtype,
                 name="box_predictor")
+        if self.with_seg:
+            from .heads.seg import ASPPSegHead
+
+            self.seg_head = ASPPSegHead(num_classes=self.num_classes,
+                                        dtype=self.dtype, name="seg_head")
         if self.head_type in ("OICR", "PCL", "CSC") and self.refine_k > 0:
             self.box_refinery = [
                 oicr_lib.RefinementOutputLayers(
@@ -148,6 +157,14 @@ class GeneralizedRCNNWSL(nn.Module):
         feats_out = self.dan(flat, train=train)
         return feats_out.reshape(B, P, -1)
 
+    def semantic_logits(self, batch) -> jnp.ndarray:
+        """(B, Hf, Wf, C+1) semantic segmentation logits (WSJDS branch)."""
+        assert self.with_seg
+        feats = self.features(batch.image)
+        if isinstance(feats, dict):
+            feats = feats[self.feature_name]
+        return self.seg_head(feats)
+
     def proposal_scores(self, batch) -> jnp.ndarray:
         """WSDDN per-proposal scores (B, P, C) — the differentiable-in-image
         quantity CSC backprops to get class-peak-gradient maps (reference
@@ -160,18 +177,33 @@ class GeneralizedRCNNWSL(nn.Module):
 
     # ------------------------------------------------------------------ train
     def __call__(self, batch, *, train: bool = True,
-                 csc_w=None) -> Dict[str, jnp.ndarray]:
+                 csc_w=None, cpg=None) -> Dict[str, jnp.ndarray]:
         """Training losses (train=True) for the configured head.
 
         csc_w: optional (W (B,P,C), PL (B,C), NL (B,C)) from
         :func:`drn_wsod_tpu.ops.csc.csc_forward` — replaces the plain WSDDN
         image BCE with the CSC-weighted positive/negative pair
         (reference CSCOutputs.csc_loss, fast_rcnn.py:888-935).
+        cpg: optional (B, C, H, W) class-peak-gradient maps; with
+        ``with_seg`` they supervise the semantic branch (WSJDS).
         """
         feats = self.features(batch.image)
 
+        seg_losses = {}
+        if self.with_seg and train:
+            f = feats[self.feature_name] if isinstance(feats, dict) else feats
+            seg_logits = self.seg_head(f)
+            if cpg is not None:
+                from .heads.seg import seg_loss_from_cpg
+
+                seg_losses["loss_seg"] = seg_loss_from_cpg(
+                    seg_logits, jax.lax.stop_gradient(cpg), batch.labels,
+                    batch.image_hw)
+
         if self.head_type == "FastRCNN":
-            return self._fast_rcnn_losses(feats, batch, train=train)
+            losses = self._fast_rcnn_losses(feats, batch, train=train)
+            losses.update(seg_losses)
+            return losses
 
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
@@ -185,6 +217,7 @@ class GeneralizedRCNNWSL(nn.Module):
         else:
             losses = {"loss_cls": wsddn_lib.wsddn_loss(
                 scores, batch.labels, self.mean_loss)}
+        losses.update(seg_losses)
 
         if self.head_type == "WSDDN" or self.refine_k == 0:
             return losses

@@ -90,7 +90,7 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype):
                                    "roi_block", "c_tile", "interpret"))
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
-                    samples: int = 2, roi_block: int = 16,
+                    samples: int = 2, roi_block: int = 8,
                     c_tile: int = 512, interpret: bool = False) -> jnp.ndarray:
     """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, max."""
     H, W, C = features.shape
