@@ -28,4 +28,7 @@ def test_config_merges_and_builds(path):
     cfg.merge_from_file(path)
     model = build_model(cfg)
     assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
-    assert model.feature_stride in (8, 16)
+    if model.pyramid_strides is None:
+        assert model.feature_stride in (8, 16)
+    else:
+        assert len(model.pyramid_strides) > 1
