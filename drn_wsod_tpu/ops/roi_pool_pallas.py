@@ -60,12 +60,12 @@ def _sample_positions(boxes, spatial_scale, H, W, R, S):
     return ys, xs
 
 
-def _make_kernel(RB, R, S, CT, neg_val: float, dtype):
+def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
     def kernel(ys_ref, xs_ref, feat_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
         neg = jnp.asarray(neg_val, dtype=dtype)
 
-        def roi_body(i, _):
+        def one_roi(i):
             for b in range(R * R):           # static: aligned output stores
                 py, px = b // R, b % R
                 acc = None
@@ -79,9 +79,17 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype):
                         m = jnp.max(sel, axis=0)              # (CT,)
                         acc = m if acc is None else jnp.maximum(acc, m)
                 out_ref[i, b, :] = acc
-            return 0
 
-        jax.lax.fori_loop(0, RB, roi_body, 0)
+        if unroll_rois:
+            # static unroll: independent bins across rois pipeline freely
+            for i in range(RB):
+                one_roi(i)
+        else:
+            def roi_body(i, _):
+                one_roi(i)
+                return 0
+
+            jax.lax.fori_loop(0, RB, roi_body, 0)
 
     return kernel
 
