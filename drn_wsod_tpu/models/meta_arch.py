@@ -130,16 +130,31 @@ class GeneralizedRCNNWSL(nn.Module):
                     sampling_ratio=max(self.pooler_sampling_ratio, 1))
 
         else:
+            if self.pooler_type == "ROIPool" and self.use_pallas_pooler:
+                # VMEM-resident Pallas kernel (forward-only; fine because the
+                # frozen backbone needs no feature grads). The
+                # (objectness + 1) * validity multiply (reference
+                # roi_heads_oicr.py:342) fuses into the kernel epilogue,
+                # saving two full passes over the ~800MB pooled tensor.
+                from ..ops.roi_pool_pallas import roi_pool_pallas
+
+                obj = (objectness + 1.0) if self.use_objectness else \
+                    jnp.ones_like(objectness)
+                roi_scale = obj * prop_mask.astype(obj.dtype)
+
+                pooled = jax.vmap(
+                    lambda fmap, boxes, sc: roi_pool_pallas(
+                        fmap, boxes, scale, resolution=res,
+                        interpret=jax.default_backend() == "cpu",
+                        roi_scale=sc)
+                )(feats, proposals, roi_scale)
+                B, P = pooled.shape[:2]
+                flat = pooled.reshape(B * P, -1)
+                feats_out = self.dan(flat, train=train)
+                return feats_out.reshape(B, P, -1)
+
             def pool_one(fmap, boxes):
                 if self.pooler_type == "ROIPool":
-                    if self.use_pallas_pooler:
-                        # VMEM-resident Pallas kernel (forward-only; fine
-                        # because the frozen backbone needs no feature grads)
-                        from ..ops.roi_pool_pallas import roi_pool_pallas
-
-                        return roi_pool_pallas(
-                            fmap, boxes, scale, resolution=res,
-                            interpret=jax.default_backend() == "cpu")
                     return roi_pool(fmap, boxes, scale, resolution=res)
                 aligned = self.pooler_type == "ROIAlignV2"
                 return roi_align(

@@ -61,11 +61,12 @@ def _sample_positions(boxes, spatial_scale, H, W, R, S):
 
 
 def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
-    def kernel(ys_ref, xs_ref, feat_ref, out_ref):
+    def kernel(ys_ref, xs_ref, scale_ref, feat_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
         neg = jnp.asarray(neg_val, dtype=dtype)
 
         def one_roi(i):
+            s = scale_ref[i].astype(dtype)
             for b in range(R * R):           # static: aligned output stores
                 py, px = b // R, b % R
                 acc = None
@@ -78,7 +79,8 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
                         sel = jnp.where(lane == x - x8, rows, neg)
                         m = jnp.max(sel, axis=0)              # (CT,)
                         acc = m if acc is None else jnp.maximum(acc, m)
-                out_ref[i, b, :] = acc
+                # fused epilogue: per-roi scaling ((objectness+1) * mask)
+                out_ref[i, b, :] = acc * s
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -99,8 +101,13 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
                     samples: int = 2, roi_block: int = 8,
-                    c_tile: int = 512, interpret: bool = False) -> jnp.ndarray:
-    """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, max."""
+                    c_tile: int = 512, interpret: bool = False,
+                    roi_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, max.
+
+    ``roi_scale`` (P,) optionally scales each RoI's output in the kernel
+    epilogue (fuses the WSOD (objectness+1)*validity multiply, saving two
+    full passes over the 800MB pooled tensor)."""
     H, W, C = features.shape
     P = boxes.shape[0]
     R, S = resolution, samples
@@ -112,6 +119,9 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         CT //= 2
 
     ys, xs = _sample_positions(boxes, spatial_scale, H, W, R, S)
+    if roi_scale is None:
+        roi_scale = jnp.ones((P,), jnp.float32)
+    roi_scale = roi_scale.astype(jnp.float32)
 
     # pad W (sublane dim) to a multiple of 8 for aligned window loads
     W8 = -(-W // 8) * 8
@@ -128,6 +138,8 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB,), lambda c, r: (r,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
@@ -135,5 +147,5 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
         interpret=interpret,
-    )(ys, xs, features)
+    )(ys, xs, roi_scale, features)
     return out.reshape(P, R, R, C)
