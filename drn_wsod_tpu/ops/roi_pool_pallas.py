@@ -66,7 +66,7 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
         neg = jnp.asarray(neg_val, dtype=dtype)
 
         def one_roi(i):
-            s = scale_ref[i].astype(dtype)
+            s = scale_ref[i, 0, 0].astype(dtype)
             for b in range(R * R):           # static: aligned output stores
                 py, px = b // R, b % R
                 acc = None
@@ -138,7 +138,7 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB,), lambda c, r: (r,),
+            pl.BlockSpec((RB, 1, 1), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
                          memory_space=pltpu.VMEM),
@@ -147,5 +147,5 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
         interpret=interpret,
-    )(ys, xs, roi_scale, features)
+    )(ys, xs, roi_scale.reshape(P, 1, 1), features)
     return out.reshape(P, R, R, C)
