@@ -106,6 +106,12 @@ def do_test(cfg, model, variables, eval_train: bool = False):
             results[name] = inference_on_dataset(
                 detect, variables, loader, evaluator, loader._records)
         logger.info(f"Results on {name}: {results[name]}")
+
+    if cfg.TEST.EXPECTED_RESULTS and datasets:
+        from drn_wsod_tpu.evaluation.testing import verify_results
+
+        assert verify_results(cfg, results[datasets[0]]), \
+            "Results verification failed!"
     return results
 
 
