@@ -54,6 +54,23 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+def _norm_layer(norm: str, features: int, name: str):
+    """FrozenBN (detection default) or trainable BN (ImageNet pretraining;
+    reference get_norm, detectron2/layers/batch_norm.py:127). Under a jit
+    global-batch step, plain BN statistics are already cross-replica exact
+    (GSPMD computes the global-batch mean), so "SyncBN"/"NaiveSyncBatchNorm"
+    (batch_norm.py:153-230) needs no separate implementation."""
+    if norm in ("BN", "SyncBN", "naiveSyncBN"):
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+    return FrozenBatchNorm(features, name=name)
+
+
+def _apply_norm(layer, x, train: bool):
+    if isinstance(layer, nn.BatchNorm):
+        return layer(x, use_running_average=not train)
+    return layer(x)
+
+
 def _conv(x, features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
     return nn.Conv(
         features=features,
@@ -79,22 +96,26 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     has_pool: bool = False
     pool_stride: int = 1
+    norm: str = "FrozenBN"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         out = _conv(x, self.out_channels, 3, dilation=self.dilation,
                     name="conv1", dtype=self.dtype)
-        out = FrozenBatchNorm(self.out_channels, name="conv1_norm")(out)
+        out = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                      "conv1_norm"), out, train)
         out = nn.relu(out)
         out = _conv(out, self.out_channels, 3, dilation=self.dilation,
                     name="conv2", dtype=self.dtype)
-        out = FrozenBatchNorm(self.out_channels, name="conv2_norm")(out)
+        out = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                      "conv2_norm"), out, train)
 
         if in_channels != self.out_channels:
             sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
-            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+            sc = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                         "shortcut_norm"), sc, train)
         else:
             sc = x
 
@@ -114,13 +135,15 @@ class BottleneckBlock(nn.Module):
     num_groups: int = 1
     has_pool: bool = False
     pool_stride: int = 1
+    norm: str = "FrozenBN"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         out = _conv(x, self.bottleneck_channels, 1, name="conv1", dtype=self.dtype)
-        out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
+        out = _apply_norm(_norm_layer(self.norm, self.bottleneck_channels,
+                                      "conv1_norm"), out, train)
         out = nn.relu(out)
 
         out = nn.Conv(
@@ -134,15 +157,18 @@ class BottleneckBlock(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(out)
-        out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
+        out = _apply_norm(_norm_layer(self.norm, self.bottleneck_channels,
+                                      "conv2_norm"), out, train)
         out = nn.relu(out)
 
         out = _conv(out, self.out_channels, 1, name="conv3", dtype=self.dtype)
-        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
+        out = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                      "conv3_norm"), out, train)
 
         if in_channels != self.out_channels:
             sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
-            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+            sc = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                         "shortcut_norm"), sc, train)
         else:
             sc = x
 
@@ -156,14 +182,16 @@ class BasicStem(nn.Module):
     """3-conv stem + 2x2/s2 pool (resnet_ws.py:357-415). Output stride 4."""
 
     out_channels: int = 64
+    norm: str = "FrozenBN"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i, stride in enumerate((2, 1, 1), start=1):
             x = _conv(x, self.out_channels, 3, stride=stride,
                       name=f"conv{i}", dtype=self.dtype)
-            x = FrozenBatchNorm(self.out_channels, name=f"conv{i}_norm")(x)
+            x = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                        f"conv{i}_norm"), x, train)
             x = nn.relu(x)
         return _maxpool2(x, 2)
 
@@ -183,6 +211,7 @@ class ResNetWS(nn.Module):
     res5_dilation: int = 2
     out_features: Sequence[str] = ("res5",)
     pyramid: bool = False
+    norm: str = "FrozenBN"
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -246,12 +275,13 @@ class ResNetWS(nn.Module):
         return chans
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         basic = self.depth in (18, 34)
         if basic:
             assert self.res2_out_channels == 64, "R18/R34 need RES2_OUT_CHANNELS=64"
 
-        x = BasicStem(self.stem_out_channels, dtype=self.dtype, name="stem")(x)
+        x = BasicStem(self.stem_out_channels, norm=self.norm,
+                      dtype=self.dtype, name="stem")(x, train=train)
 
         outputs = {}
         max_stage = max(int(f[-1]) for f in self.out_features)
@@ -267,17 +297,18 @@ class ResNetWS(nn.Module):
                     dilation=spec["dilation"],
                     has_pool=spec["has_pool"] and last,
                     pool_stride=spec["pool_stride"],
+                    norm=self.norm,
                     dtype=self.dtype,
                     name=f"{spec['stage']}_{b}",
                 )
                 if basic:
-                    x = BasicBlock(**kwargs)(x)
+                    x = BasicBlock(**kwargs)(x, train=train)
                 else:
                     x = BottleneckBlock(
                         bottleneck_channels=spec["bottleneck_channels"],
                         num_groups=self.num_groups,
                         **kwargs,
-                    )(x)
+                    )(x, train=train)
             if spec["stage"] in self.out_features:
                 outputs[spec["stage"]] = x
         return outputs
@@ -296,6 +327,7 @@ def build_ws_resnet_backbone(cfg) -> Tuple[ResNetWS, Dict[str, int], Dict[str, i
         res2_out_channels=r.RES2_OUT_CHANNELS,
         res5_dilation=r.RES5_DILATION,
         out_features=tuple(r.OUT_FEATURES),
+        norm=r.NORM,
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
     )
     return model, model.feature_strides, model.feature_channels

@@ -38,7 +38,7 @@ class ResNetWSClassifier(nn.Module):
     def __call__(self, x, *, train: bool = False):
         from drn_wsod_tpu.models.heads.box_head import DiscriminativeAdaptionNeck
 
-        feats = self.backbone(x)
+        feats = self.backbone(x, train=train)
         f = list(feats.values())[-1]
         f = nn.max_pool(f, (2, 2), strides=(2, 2), padding="VALID")
         f = f.reshape(f.shape[0], -1)
@@ -101,6 +101,7 @@ def main():
     if args.depth in (18, 34):
         cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
     cfg.MODEL.RESNETS.RES5_DILATION = 1  # classification uses stride 16
+    cfg.MODEL.RESNETS.NORM = "BN"        # trainable (global-batch-synced) BN
 
     backbone, strides, channels = build_ws_resnet_backbone(cfg)
     dan_in = channels["res5"]
@@ -117,33 +118,46 @@ def main():
     mean = jnp.asarray([102.9801, 115.9465, 122.7717])
     variables = model.init({"params": rng, "dropout": rng}, x0 - mean,
                            train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    has_bn = bool(batch_stats)
 
     sched = optax.piecewise_constant_schedule(
         args.lr, {int(args.iters * 0.33): 0.1, int(args.iters * 0.67): 0.1})
     tx = optax.chain(optax.add_decayed_weights(1e-4),
                      optax.trace(decay=0.9),
                      optax.scale_by_learning_rate(sched))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
     @jax.jit
-    def step(variables, opt_state, x, y, rng):
-        def loss_fn(v):
-            logits = model.apply(v, x - mean, train=True,
-                                 rngs={"dropout": rng})
+    def step(params, batch_stats, opt_state, x, y, rng):
+        def loss_fn(p):
+            v = {"params": p}
+            if has_bn:
+                v["batch_stats"] = batch_stats
+                logits, new_state = model.apply(
+                    v, x - mean, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+            else:
+                logits = model.apply(v, x - mean, train=True,
+                                     rngs={"dropout": rng})
+                new_state = {"batch_stats": batch_stats}
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, y).mean()
             acc = (logits.argmax(-1) == y).mean()
-            return loss, acc
+            return loss, (acc, new_state)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss, acc
+        (loss, (acc, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state["batch_stats"], opt_state, loss, acc
 
     t0 = time.perf_counter()
     for it in range(args.iters):
         x, y = next(data)
-        variables, opt_state, loss, acc = step(variables, opt_state, x, y,
-                                               jax.random.fold_in(rng, it))
+        params, batch_stats, opt_state, loss, acc = step(
+            params, batch_stats, opt_state, x, y, jax.random.fold_in(rng, it))
         if (it + 1) % 20 == 0:
             print(f"iter {it + 1}: loss {float(loss):.4f} "
                   f"acc {float(acc):.4f} "
@@ -152,8 +166,10 @@ def main():
     from drn_wsod_tpu.checkpoint import Checkpointer
     from drn_wsod_tpu.engine import create_train_state
 
-    Checkpointer(args.out).save(
-        create_train_state(variables, tx), args.iters)
+    final = {"params": params}
+    if has_bn:
+        final["batch_stats"] = batch_stats
+    Checkpointer(args.out).save(create_train_state(final, tx), args.iters)
 
 
 if __name__ == "__main__":
