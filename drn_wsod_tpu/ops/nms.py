@@ -40,8 +40,15 @@ def _rank_desc(scores: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-             iou_threshold: float, iou: jnp.ndarray | None = None) -> jnp.ndarray:
+             iou_threshold: float, iou: jnp.ndarray | None = None,
+             max_iters: int | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask over one set of boxes.
+
+    Jacobi iteration of the greedy fixed point; after t iterations entries
+    with suppression-DAG depth <= t are exact. Runs a FIXED iteration count
+    (compiler-friendly: no while_loop/convergence check — data-dependent
+    loops compile poorly on TPU): 32 by default, far beyond real suppression
+    chain depths. The matrix-vector step runs as a bf16 matmul on the MXU.
 
     Args:
       boxes: (N, 4) XYXY.
@@ -50,28 +57,25 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
       iou_threshold: suppression threshold (strictly-greater suppresses,
         matching torchvision).
       iou: optional precomputed (N, N) IoU matrix to share across calls.
+      max_iters: Jacobi iterations (defaults to min(32, N)).
 
     Returns: (N,) bool keep mask.
     """
     if iou is None:
         iou = box_ops.pairwise_iou(boxes, boxes)
+    n = boxes.shape[0]
+    iters = max_iters if max_iters is not None else min(32, n)
     rank = _rank_desc(scores, valid)
     earlier = rank[None, :] < rank[:, None]          # j strictly before i
-    sup = (iou > iou_threshold) & earlier & valid[None, :] & valid[:, None]
+    sup = ((iou > iou_threshold) & earlier & valid[None, :]
+           & valid[:, None]).astype(jnp.bfloat16)
 
-    def cond(state):
-        keep, prev, it = state
-        return jnp.logical_and(jnp.any(keep != prev), it < boxes.shape[0])
+    def body(_, keep):
+        suppressed = (sup @ keep.astype(jnp.bfloat16)
+                      ).astype(jnp.float32) > 0.5
+        return valid & ~suppressed
 
-    def body(state):
-        keep, _, it = state
-        new = valid & ~jnp.any(sup & keep[None, :], axis=1)
-        return new, keep, it + 1
-
-    keep0 = valid
-    keep1 = valid & ~jnp.any(sup & keep0[None, :], axis=1)
-    keep, _, _ = jax.lax.while_loop(cond, body, (keep1, keep0, jnp.int32(0)))
-    return keep
+    return jax.lax.fori_loop(0, iters, body, valid)
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "score_threshold", "topk"))
