@@ -78,7 +78,8 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return jax.lax.fori_loop(0, iters, body, valid)
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "score_threshold", "topk"))
+@partial(jax.jit, static_argnames=("iou_threshold", "score_threshold", "topk",
+                                   "per_class_topk", "nms_iters"))
 def multiclass_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -86,13 +87,23 @@ def multiclass_nms(
     iou_threshold: float,
     score_threshold: float,
     topk: int,
+    per_class_topk: int = 1024,
+    nms_iters: int = 16,
 ):
     """Per-class NMS over all classes, then global top-k.
 
     Equivalent of the reference inference path ``fast_rcnn_inference_single_
     image`` (projects/WSL/wsl/modeling/roi_heads/fast_rcnn.py:88-141):
-    score-threshold -> per-class NMS -> topk. Shares one (P, P) IoU matrix
-    across classes and scans classes to bound memory.
+    score-threshold -> per-class NMS -> topk, restructured for TPU:
+
+      * candidates are trimmed to the per-class top ``per_class_topk`` first.
+        Lower-ranked candidates cannot change which higher-ranked ones
+        survive greedy NMS, so the top-``topk`` output is unaffected unless
+        fewer than ``topk`` detections outrank the trim line (negligible at
+        1024/class for 100 outputs);
+      * top_k sorting makes the suppression ordering a STATIC lower-triangle;
+      * suppression runs ``nms_iters`` Jacobi steps as one batched (C, T, T)
+        x (C, T) bf16 matvec on the MXU per step.
 
     Args:
       boxes: (P, 4) class-agnostic or (P, C, 4) class-specific boxes.
@@ -105,38 +116,47 @@ def multiclass_nms(
     """
     P, C = scores.shape
     class_specific = boxes.ndim == 3
+    T = min(per_class_topk, P)
 
-    shared_iou = None if class_specific else box_ops.pairwise_iou(boxes, boxes)
-
-    def per_class(c):
-        s = scores[:, c]
-        v = valid & (s > score_threshold) & jnp.isfinite(s)
-        if class_specific:
-            b = boxes[:, c, :]
-            v = v & jnp.all(jnp.isfinite(b), axis=-1)
-            return nms_mask(b, s, v, iou_threshold)
-        return nms_mask(boxes, s, v, iou_threshold, iou=shared_iou)
-
-    keep = jax.lax.map(per_class, jnp.arange(C))     # (C, P)
-    keep = keep.T                                     # (P, C)
-
-    kept_scores = jnp.where(keep, scores, -jnp.inf).reshape(-1)  # (P*C,)
-    k = min(topk, P * C)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
-    if k < topk:
-        top_scores = jnp.pad(top_scores, (0, topk - k),
-                             constant_values=-jnp.inf)
-        top_idx = jnp.pad(top_idx, (0, topk - k))
-    top_p = top_idx // C
-    top_c = (top_idx % C).astype(jnp.int32)
+    s = jnp.where(valid[:, None] & jnp.isfinite(scores)
+                  & (scores > score_threshold), scores, -jnp.inf)
     if class_specific:
-        top_boxes = boxes[top_p, top_c]
+        finite_b = jnp.all(jnp.isfinite(boxes), axis=-1)     # (P, C)
+        s = jnp.where(finite_b, s, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(s.T, T)                     # (C, T) desc
+
+    if class_specific:
+        cls_idx = jnp.arange(C, dtype=jnp.int32)
+        boxes_c = boxes[top_i, cls_idx[:, None]]             # (C, T, 4)
     else:
-        top_boxes = boxes[top_p]
-    out_valid = jnp.isfinite(top_scores)
+        boxes_c = boxes[top_i]                               # (C, T, 4)
+
+    iou = jax.vmap(box_ops.pairwise_iou)(boxes_c, boxes_c)   # (C, T, T)
+    cand = jnp.isfinite(top_s)                               # (C, T)
+    earlier = jnp.tril(jnp.ones((T, T), dtype=bool), k=-1)   # j < i (sorted)
+    sup = ((iou > iou_threshold) & earlier[None]
+           & cand[:, None, :] & cand[:, :, None]).astype(jnp.bfloat16)
+
+    def body(_, keep):
+        hit = jnp.einsum("ctj,cj->ct", sup, keep.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return cand & (hit < 0.5)
+
+    keep = jax.lax.fori_loop(0, min(nms_iters, T), body, cand)
+
+    kept_scores = jnp.where(keep, top_s, -jnp.inf).reshape(-1)   # (C*T,)
+    k = min(topk, C * T)
+    out_s, flat = jax.lax.top_k(kept_scores, k)
+    if k < topk:
+        out_s = jnp.pad(out_s, (0, topk - k), constant_values=-jnp.inf)
+        flat = jnp.pad(flat, (0, topk - k))
+    out_c = (flat // T).astype(jnp.int32)
+    out_t = flat % T
+    out_boxes = boxes_c[out_c, out_t]
+    out_valid = jnp.isfinite(out_s)
     return {
-        "boxes": jnp.where(out_valid[:, None], top_boxes, 0.0),
-        "scores": jnp.where(out_valid, top_scores, 0.0),
-        "classes": top_c,
+        "boxes": jnp.where(out_valid[:, None], out_boxes, 0.0),
+        "scores": jnp.where(out_valid, out_s, 0.0),
+        "classes": out_c,
         "valid": out_valid,
     }

@@ -65,11 +65,12 @@ def benchmark_eval_synthetic(cfg, iters=20):
                             cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
                             cfg.TEST.DETECTIONS_PER_IMAGE)
     d = detect(variables, batch)
-    jax.block_until_ready(d)
+    jax.device_get(d["scores"][0, 0])
     t0 = time.perf_counter()
+    total = 0.0
     for _ in range(iters):
         d = detect(variables, batch)
-    jax.block_until_ready(d)
+        total += float(jax.device_get(d["scores"][0, 0]))
     dt = time.perf_counter() - t0
     print(f"eval: {dt / iters * 1000:.1f} ms/img, {iters / dt:.2f} img/s")
 
