@@ -71,7 +71,14 @@ class DatasetMapper:
 
     def __call__(self, record: Dict, rng: np.random.RandomState,
                  dataset_index: int = 0) -> Dict[str, np.ndarray]:
-        image = read_image(record["file_name"], self.fmt)
+        if "image" in record:
+            # packed-record fast path (data/record_dataset.py): pixels are
+            # pre-decoded in BGR; skip file IO + JPEG decode entirely
+            image = record["image"]
+            if self.fmt == "RGB":
+                image = image[:, :, ::-1]
+        else:
+            image = read_image(record["file_name"], self.fmt)
         orig_h, orig_w = image.shape[:2]
 
         image, tfms = T.apply_augmentations(self.augmentations, image, rng)
