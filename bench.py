@@ -33,9 +33,9 @@ def main():
     from drn_wsod_tpu.solver import build_optimizer
 
     cfg = get_cfg()  # OICR R50-WS DC5 defaults
-    B, H, P = 2, 688, 4096
-    # pad H to bucket 704 as the data pipeline would
-    H = 704
+    # B=1/chip matches the reference flagship (IMS_PER_BATCH 4 over 4 GPUs);
+    # H padded to the 704 bucket as the data pipeline would.
+    B, H, P = 1, 704, 4096
 
     model = build_model(cfg)
     batch = _synthetic_batch(B=B, H=H, W=H, P=P,
