@@ -94,8 +94,6 @@ class DefaultPredictor:
         }
         rng = np.random.RandomState(0)
         h, w = original_image.shape[:2]
-        import tempfile
-
         # map in-memory: reuse mapper internals without file IO
         from ..data import transforms as T
         from ..data.mapper import pick_bucket

@@ -265,7 +265,6 @@ class ResNetWS(nn.Module):
 
     @property
     def feature_channels(self) -> Dict[str, int]:
-        basic = self.depth in (18, 34)
         chans = {}
         for spec in self.stage_specs(self.depth, self.res5_dilation,
                                      self.res2_out_channels,

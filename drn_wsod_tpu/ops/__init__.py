@@ -1,5 +1,15 @@
 from .matcher import match
 from .nms import nms_mask, multiclass_nms
 from .roi_align import roi_align, roi_pool
+from .roi_pool_pallas import roi_pool_pallas
+from .poolers import assign_boxes_to_levels, multilevel_roi_pool
+from .deform_conv import deform_conv2d
+from .crf import crf_inference
+from .mask_ops import paste_masks_in_image
+from . import csc, pcl
 
-__all__ = ["match", "nms_mask", "multiclass_nms", "roi_align", "roi_pool"]
+__all__ = [
+    "match", "nms_mask", "multiclass_nms", "roi_align", "roi_pool",
+    "roi_pool_pallas", "assign_boxes_to_levels", "multilevel_roi_pool",
+    "deform_conv2d", "crf_inference", "paste_masks_in_image", "csc", "pcl",
+]

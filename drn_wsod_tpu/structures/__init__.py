@@ -11,9 +11,12 @@ from .boxes import (
     apply_deltas,
 )
 from .batch import WSODBatch, Detections
+from .rotated_boxes import (nms_rotated, pairwise_iou_rotated,
+                            rotated_to_corners)
 
 __all__ = [
     "BoxMode", "area", "clip", "nonempty", "pairwise_intersection",
     "pairwise_iou", "pairwise_iou_wsl", "unique_boxes_mask",
     "get_deltas", "apply_deltas", "WSODBatch", "Detections",
+    "nms_rotated", "pairwise_iou_rotated", "rotated_to_corners",
 ]
