@@ -88,6 +88,10 @@ class CfgNode(dict):
             else:
                 if k not in self and not allow_new:
                     raise KeyError(f"Non-existent config key: {k}")
+                if isinstance(v, str):
+                    # yacs semantics: python-literal strings in YAML (e.g.
+                    # "('voc_2007_train',)") decode to their value
+                    v = _decode_value(v)
                 if k in self and self[k] is not None and v is not None:
                     v = _coerce(v, self[k], k)
                 dict.__setitem__(self, k, v)

@@ -170,13 +170,18 @@ def build_detection_train_loader(cfg, mapper) -> TrainLoader:
 
 
 def build_detection_test_loader(cfg, dataset_name: str, mapper,
-                                batch_size: int = 1) -> TestLoader:
-    names = list(cfg.DATASETS.TEST)
-    proposal_files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
-    if dataset_name in names and cfg.MODEL.LOAD_PROPOSALS and proposal_files:
-        pf = [proposal_files[names.index(dataset_name)]]
-    else:
-        pf = ()
+                                batch_size: int = 1,
+                                proposal_file: Optional[str] = None
+                                ) -> TestLoader:
+    """``proposal_file`` overrides the TEST-list lookup — needed when
+    evaluating TRAIN datasets for CorLoc (reference test_with_TTA,
+    projects/WSL/tools/train_net.py:169-201)."""
+    if proposal_file is None and cfg.MODEL.LOAD_PROPOSALS:
+        names = list(cfg.DATASETS.TEST)
+        proposal_files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+        if dataset_name in names and proposal_files:
+            proposal_file = proposal_files[names.index(dataset_name)]
+    pf = [proposal_file] if (proposal_file and cfg.MODEL.LOAD_PROPOSALS) else ()
     records = get_detection_dataset_dicts([dataset_name], pf,
                                           filter_empty=False)
     return TestLoader(records, mapper, batch_size,

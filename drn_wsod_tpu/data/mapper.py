@@ -84,9 +84,13 @@ class DatasetMapper:
         image, tfms = T.apply_augmentations(self.augmentations, image, rng)
         h, w = image.shape[:2]
 
-        boxes, logits = transform_proposals(
-            record, (h, w), tfms, min_box_size=self.min_box_size,
-            topk=self.topk)
+        if "proposal_boxes" in record:
+            boxes, logits = transform_proposals(
+                record, (h, w), tfms, min_box_size=self.min_box_size,
+                topk=self.topk)
+        else:  # no precomputed proposals (e.g. RPN-based supervised config)
+            boxes = np.zeros((0, 4), dtype=np.float32)
+            logits = np.zeros((0,), dtype=np.float32)
 
         P = self.num_proposals
         n = min(len(boxes), P)

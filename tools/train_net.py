@@ -96,7 +96,10 @@ def do_test(cfg, model, variables, eval_train: bool = False):
                     dets["classes"], dets["valid"])
             results[name] = evaluator.evaluate()
         else:
-            loader = build_detection_test_loader(cfg, name, mapper)
+            loader = build_detection_test_loader(
+                cfg, name, mapper,
+                proposal_file=proposal_files[i]
+                if i < len(proposal_files) else None)
             # records inside the loader include proposals; reuse them
             detect = make_detect_fn(model,
                                     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
