@@ -52,28 +52,52 @@ def _collate(samples: List[Dict[str, np.ndarray]]) -> WSODBatch:
 
 
 class TrainLoader:
-    """Infinite shuffled loader with bucket-grouped batches."""
+    """Infinite shuffled loader with bucket-grouped batches.
+
+    ``num_workers`` threads run the mapper concurrently (PIL decode releases
+    the GIL) — the threaded analog of the reference's DataLoader worker
+    processes (detectron2/data/build.py:249-410)."""
 
     def __init__(self, records: List[dict], mapper: Callable,
-                 batch_size: int, seed: int = 0, prefetch: int = 2):
+                 batch_size: int, seed: int = 0, prefetch: int = 2,
+                 num_workers: int = 0):
         assert len(records) > 0
         self._records = records
         self._mapper = mapper
         self._batch_size = batch_size
         self._seed = seed
         self._prefetch = prefetch
+        self._num_workers = num_workers
+
+    def _index_iter(self):
+        rng = np.random.RandomState(self._seed)
+        while True:
+            for idx in rng.permutation(len(self._records)):
+                # per-sample rng seeded deterministically from the stream
+                yield int(idx), np.random.RandomState(rng.randint(2 ** 31))
 
     def _sample_iter(self):
-        rng = np.random.RandomState(self._seed)
-        epoch = 0
-        while True:
-            order = rng.permutation(len(self._records))
-            for idx in order:
+        indices = self._index_iter()
+        if self._num_workers <= 1:
+            for idx, rng in indices:
                 sample = self._mapper(self._records[idx], rng,
-                                      dataset_index=int(idx))
+                                      dataset_index=idx)
                 if sample is not None:
                     yield sample
-            epoch += 1
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self._num_workers) as pool:
+            inflight = []
+            depth = self._num_workers * 2
+            for idx, rng in indices:
+                inflight.append(pool.submit(
+                    self._mapper, self._records[idx], rng,
+                    dataset_index=idx))
+                if len(inflight) >= depth:
+                    sample = inflight.pop(0).result()
+                    if sample is not None:
+                        yield sample
 
     def _batch_iter(self):
         buffers: Dict[int, list] = {}
@@ -166,7 +190,8 @@ def build_detection_train_loader(cfg, mapper) -> TrainLoader:
         filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
     return TrainLoader(records, mapper, cfg.SOLVER.IMS_PER_BATCH,
                        seed=max(cfg.SEED, 0),
-                       prefetch=cfg.DATALOADER.PREFETCH)
+                       prefetch=cfg.DATALOADER.PREFETCH,
+                       num_workers=cfg.DATALOADER.NUM_WORKERS)
 
 
 def build_detection_test_loader(cfg, dataset_name: str, mapper,
