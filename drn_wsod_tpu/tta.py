@@ -31,22 +31,34 @@ from .ops.nms import multiclass_nms
 from .structures import WSODBatch
 
 
-def build_view_batch(image: np.ndarray, proposals: np.ndarray,
-                     objectness: np.ndarray, labels: np.ndarray,
-                     min_sizes, max_size: int, flip: bool,
-                     buckets, num_proposals: int) -> Tuple[WSODBatch, Dict]:
-    """Build the (V, ...) batch of augmented views for one image.
-
-    ``image`` is the raw (H, W, 3) image (already channel-ordered);
-    ``proposals`` (N, 4) raw-frame boxes after dedup/top-k.
-    Returns (batch, inverse-info dict with 'scale' (V, 2) and 'flip' (V,)).
-    """
-    H, W = image.shape[:2]
+def enumerate_views(image_hw, min_sizes, max_size: int, flip: bool):
+    """The (new_h, new_w, flip) view list for one image."""
+    H, W = image_hw
     views = []
     for size in min_sizes:
         nh, nw = T.ResizeShortestEdge.target_size(H, W, size, max_size)
         for do_flip in ((False, True) if flip else (False,)):
             views.append((nh, nw, do_flip))
+    return views
+
+
+def build_view_batch(image: np.ndarray, proposals: np.ndarray,
+                     objectness: np.ndarray, labels: np.ndarray,
+                     min_sizes, max_size: int, flip: bool,
+                     buckets, num_proposals: int,
+                     views=None) -> Tuple[WSODBatch, Dict]:
+    """Build the (V, ...) batch of augmented views for one image.
+
+    ``image`` is the raw (H, W, 3) image (already channel-ordered);
+    ``proposals`` (N, 4) raw-frame boxes after dedup/top-k. ``views``
+    optionally restricts to a subset (bucket grouping — all views in one
+    batch share the smallest covering bucket instead of padding everything
+    to the largest scale).
+    Returns (batch, inverse-info dict with 'scale' (V, 2) and 'flip' (V,)).
+    """
+    H, W = image.shape[:2]
+    if views is None:
+        views = enumerate_views((H, W), min_sizes, max_size, flip)
 
     V = len(views)
     P = num_proposals
@@ -185,6 +197,42 @@ def make_tta_union_detect_fn(model, score_thresh: float, nms_thresh: float,
     return detect
 
 
+def make_tta_scorer(model):
+    """Jitted per-group scorer: sums scores and inverse-transformed boxes
+    over the group's views (compiles once per bucket)."""
+
+    @jax.jit
+    def score(variables, batch, inv):
+        scores, boxes = model.apply(variables, batch,
+                                    method="inference_scores")
+        C = scores.shape[-1] - 1
+        if boxes.shape[-1] != 4:
+            V, P = boxes.shape[:2]
+            b = boxes.reshape(V, P * C, 4)
+            inv_boxes = _invert_boxes(b, inv).reshape(V, P, C, 4)
+        else:
+            inv_boxes = _invert_boxes(boxes, inv)
+        return jnp.sum(scores, axis=0), jnp.sum(inv_boxes, axis=0)
+
+    return score
+
+
+def make_tta_finalizer(nms_thresh: float, score_thresh: float, topk: int):
+    @partial(jax.jit, static_argnames=())
+    def finalize(sum_scores, sum_boxes, n_views, prop_mask):
+        avg_scores = sum_scores / n_views
+        avg_boxes = sum_boxes / n_views
+        C = avg_scores.shape[-1] - 1
+        dets = multiclass_nms(avg_boxes, avg_scores[:, :C], prop_mask,
+                              iou_threshold=nms_thresh,
+                              score_threshold=score_thresh, topk=topk)
+        dets["all_scores"] = avg_scores
+        dets["all_boxes"] = avg_boxes
+        return dets
+
+    return finalize
+
+
 class GeneralizedRCNNWithTTAAVG:
     """Host-facing wrapper: record -> TTA detections (original frame)."""
 
@@ -198,9 +246,10 @@ class GeneralizedRCNNWithTTAAVG:
         self.num_proposals = cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
         self.fmt = cfg.INPUT.FORMAT
         self.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
-        self._detect = make_tta_detect_fn(
-            model, cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        self._score = make_tta_scorer(model)
+        self._finalize = make_tta_finalizer(
             cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+            cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             cfg.TEST.DETECTIONS_PER_IMAGE)
 
     def __call__(self, record: dict):
@@ -216,7 +265,25 @@ class GeneralizedRCNNWithTTAAVG:
         boxes, logits = boxes[keep], logits[keep]
         labels = image_level_labels(record, self.num_classes)
 
-        batch, inv = build_view_batch(
-            image, boxes, logits, labels, self.min_sizes, self.max_size,
-            self.flip, self.buckets, self.num_proposals)
-        return jax.device_get(self._detect(self.variables, batch, inv))
+        # group views by bucket so small scales don't pad to the largest
+        views = enumerate_views(image.shape[:2], self.min_sizes,
+                                self.max_size, self.flip)
+        groups: Dict[int, list] = {}
+        for v in views:
+            groups.setdefault(pick_bucket(v[0], v[1], self.buckets),
+                              []).append(v)
+
+        sum_scores = sum_boxes = None
+        prop_mask = None
+        for bucket_views in groups.values():
+            batch, inv = build_view_batch(
+                image, boxes, logits, labels, self.min_sizes, self.max_size,
+                self.flip, self.buckets, self.num_proposals,
+                views=bucket_views)
+            s, b = self._score(self.variables, batch, inv)
+            prop_mask = batch.proposal_mask[0]
+            sum_scores = s if sum_scores is None else sum_scores + s
+            sum_boxes = b if sum_boxes is None else sum_boxes + b
+        dets = self._finalize(sum_scores, sum_boxes, float(len(views)),
+                              prop_mask)
+        return jax.device_get(dets)
