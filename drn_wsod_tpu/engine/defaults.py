@@ -131,6 +131,55 @@ class DefaultPredictor:
         }
 
 
+class AsyncPredictor:
+    """Pipelined predictor (reference demo/predictor.py:132-220
+    AsyncPredictor): a worker thread keeps the device busy while the caller
+    prepares the next input. On TPU a thread (not a process pool) is the
+    right shape — dispatch is async and compute happens on the device."""
+
+    def __init__(self, cfg, variables=None, queue_depth: int = 3):
+        import queue as _queue
+        import threading
+
+        self._pred = DefaultPredictor(cfg, variables)
+        self._tasks: "_queue.Queue" = _queue.Queue(maxsize=queue_depth)
+        self._results: "_queue.Queue" = _queue.Queue()
+        self._seq_put = 0
+        self._seq_got = 0
+
+        def worker():
+            while True:
+                item = self._tasks.get()
+                if item is None:
+                    return
+                idx, args = item
+                try:
+                    self._results.put((idx, self._pred(*args)))
+                except Exception as e:  # surface errors to the consumer
+                    self._results.put((idx, e))
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def put(self, image, proposal_boxes, objectness=None):
+        self._tasks.put((self._seq_put, (image, proposal_boxes, objectness)))
+        self._seq_put += 1
+
+    def get(self):
+        idx, out = self._results.get()
+        self._seq_got += 1
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def __call__(self, image, proposal_boxes, objectness=None):
+        self.put(image, proposal_boxes, objectness)
+        return self.get()
+
+    def shutdown(self):
+        self._tasks.put(None)
+
+
 def _init_variables(model, cfg, batch=None):
     """Initialize model variables with a minimal synthetic batch."""
     import jax.numpy as jnp
