@@ -119,6 +119,18 @@ def make_csc_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = No
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total
+        # CSC weight statistics (reference cpg_stats tracker,
+        # projects/WSL/wsl/third_party/cpg_stats.py): polar weight masses +
+        # the image evidence driving them.
+        present = batch.labels > 0.5
+        w_present = jnp.where(present[:, None, :], W, 0.0)
+        n_present = jnp.maximum(jnp.sum(present), 1)
+        metrics["csc/W_pos_mean"] = (jnp.sum(jnp.clip(w_present, 0, None))
+                                     / (n_present * W.shape[1]))
+        metrics["csc/W_neg_mean"] = (jnp.sum(-jnp.clip(w_present, None, 0))
+                                     / (n_present * W.shape[1]))
+        metrics["csc/pred_mean"] = jnp.sum(
+            jnp.where(present, preds, 0.0)) / n_present
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
