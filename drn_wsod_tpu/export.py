@@ -14,7 +14,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 

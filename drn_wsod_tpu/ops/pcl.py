@@ -21,7 +21,6 @@ TPU-native re-formulation (everything stays on device, static shapes):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
