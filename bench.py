@@ -46,15 +46,18 @@ def main():
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: jax.block_until_ready does NOT synchronize on
+    # the axon platform (STATUS.md) — a value-dependent jax.device_get of a
+    # scalar is the only reliable fence, and the donated state chain forces
+    # every intermediate step to have completed.
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["total_loss"]))
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -67,15 +67,15 @@ def inference_on_dataset(detect_fn: Callable, variables, loader,
     for batch, n_real in loader:
         t0 = time.perf_counter()
         dets = detect_fn(variables, batch)
-        dets = jax.block_until_ready(dets)
+        # jax.block_until_ready does not synchronize on the axon platform:
+        # the value-dependent device_get below is the timing fence.
+        host = jax.device_get(
+            {k: dets[k] for k in ("boxes", "scores", "classes", "valid")})
         dt = time.perf_counter() - t0
         n_batches += 1
         if n_batches > warmup:
             total_time += dt
             total_images += n_real
-
-        host = jax.device_get(
-            {k: dets[k] for k in ("boxes", "scores", "classes", "valid")})
         ids = np.asarray(jax.device_get(batch.image_id))
         for i in range(n_real):
             record = records[int(ids[i])]
