@@ -153,7 +153,9 @@ def csc_loss(scores: jnp.ndarray, W: jnp.ndarray, PL: jnp.ndarray,
     fast_rcnn.py:888-935). scores/W: (B, P, C); PL/NL: (B, C)."""
     W_pos = jnp.abs(jnp.clip(W, 0.0, None))
     W_neg = jnp.abs(jnp.clip(W, None, 0.0))
-    eps = 1e-20
+    # Reference clamp (fast_rcnn.py:331): 1e-6 — anything smaller underflows
+    # in float32 (1 - 1e-20 == 1.0 -> log(0) = -inf).
+    eps = 1e-6
     img_pos = jnp.clip(jnp.sum(scores * W_pos, axis=1), eps, 1 - eps)
     img_neg = jnp.clip(jnp.sum(scores * W_neg, axis=1), eps, 1 - eps)
 

@@ -1,7 +1,10 @@
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
-from .train_parallel import make_sharded_inference_fn, make_sharded_train_step
+from .train_parallel import (make_sharded_csc_train_step,
+                             make_sharded_inference_fn,
+                             make_sharded_train_step)
 
 __all__ = [
     "batch_sharding", "create_mesh", "replicated", "shard_batch",
-    "make_sharded_inference_fn", "make_sharded_train_step",
+    "make_sharded_csc_train_step", "make_sharded_inference_fn",
+    "make_sharded_train_step",
 ]

@@ -15,13 +15,29 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import Mesh
 
-from ..engine.trainer import make_train_step
+from ..engine.trainer import make_csc_train_step, make_train_step
 from .mesh import batch_sharding, replicated
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh,
                             loss_weights=None) -> Callable:
     step = make_train_step(model, tx, loss_weights)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_csc_train_step(model, tx, mesh: Mesh, loss_weights=None,
+                                **csc_kwargs) -> Callable:
+    """Sharded variant of the CSC/WSJDS step (CPG backprop-to-image +
+    center-surround weights); same shardings as the plain step — the CPG
+    pass is per-image so it shards cleanly over the data axis."""
+    step = make_csc_train_step(model, tx, loss_weights, **csc_kwargs)
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(

@@ -38,8 +38,9 @@ from drn_wsod_tpu.engine.defaults import (default_argument_parser,
 from drn_wsod_tpu.evaluation import (PascalVOCDetectionEvaluator,
                                      inference_on_dataset, make_detect_fn)
 from drn_wsod_tpu.models import build_model
-from drn_wsod_tpu.parallel import (create_mesh, make_sharded_train_step,
-                                   replicated, shard_batch)
+from drn_wsod_tpu.parallel import (create_mesh, make_sharded_csc_train_step,
+                                   make_sharded_train_step, replicated,
+                                   shard_batch)
 from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
 
 logger = logging.getLogger("drn_wsod_tpu")
@@ -132,7 +133,24 @@ def do_train(cfg, model, resume: bool = False):
 
     mesh = create_mesh(tuple(cfg.PARALLEL.MESH_AXES),
                        tuple(cfg.PARALLEL.MESH_SHAPE))
-    step = make_sharded_train_step(model, tx, mesh)
+    plain_step = make_sharded_train_step(model, tx, mesh)
+    if cfg.MODEL.ROI_HEADS.NAME in ("CSCROIHeads", "WSJDSROIHeads"):
+        # CSC/WSJDS: the CSC constraint (CPG backprop-to-image +
+        # center-surround weights) is active while iter <= WSL.CSC_MAX_ITER,
+        # after which the reference degenerates to neutral weights == the
+        # plain WSDDN BCE (roi_heads_csc.py:428,481-499). Two jitted steps,
+        # host-side switch on the iteration counter.
+        csc_step = make_sharded_csc_train_step(model, tx, mesh)
+        csc_max_iter = cfg.WSL.CSC_MAX_ITER
+        _trainer_box = []
+
+        def step(state, batch, rng):
+            it = _trainer_box[0].iter if _trainer_box else 0
+            fn = csc_step if it <= csc_max_iter else plain_step
+            return fn(state, batch, rng)
+    else:
+        _trainer_box = None
+        step = plain_step
     state = jax.device_put(state, replicated(mesh))
 
     def sharded_iter():
@@ -143,6 +161,8 @@ def do_train(cfg, model, resume: bool = False):
         jax.random.PRNGKey(max(cfg.SEED, 0)), replicated(mesh))
     trainer = Trainer(step, state, sharded_iter(), rng,
                       lr_schedule=build_lr_schedule(cfg))
+    if _trainer_box is not None:
+        _trainer_box.append(trainer)
     writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
                JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
     hooks = [IterationTimer(), PeriodicWriter(writers),
