@@ -15,9 +15,17 @@ Structure:
 
 Mosaic alignment: dynamic indexing is only unconstrained on untiled (leading)
 dims, so the kernel indexes H dynamically (dim 0), loads an 8-aligned window
-along W (the sublane dim, pre-padded to a multiple of 8) and selects the
-target column with an iota mask + max — bins are statically unrolled so the
-output stores use constant sublane indices.
+along W (the sublane dim, pre-padded to a multiple of 8) and isolates the
+target column with a precomputed additive one-hot table (see _make_kernel) —
+bins are statically unrolled so the output stores use constant sublane
+indices.
+
+Measured perf (v5e, B=2, 4096 RoIs, 88x88x2048 bf16): 51 ms with the old
+per-sample compare/select/reduce; 35 ms with the additive table. Ablations
+show the remaining time is pure VPU issue throughput of the (8, CT) window
+ops (fully static indices and removing the feature load barely move it), so
+further gains need fewer bytes per sample (int8 features) or a different
+algorithm, not better scheduling.
 
 Sample positions (integer cell coords, torchvision quantized-bin semantics)
 are precomputed by XLA exactly as in ops/roi_align.roi_pool; the kernel only
@@ -61,9 +69,35 @@ def _sample_positions(boxes, spatial_scale, H, W, R, S):
 
 
 def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
-    def kernel(ys_ref, xs_ref, scale_ref, feat_ref, out_ref):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
-        neg = jnp.asarray(neg_val, dtype=dtype)
+    """Additive one-hot formulation.
+
+    Selecting lane ``xo`` out of an 8-lane window used to cost a compare +
+    select + cross-sublane reduce PER SAMPLE (~20 vreg-ops). Instead we
+    precompute an additive table T (8 offsets x (8, CT)): T[k] is 0 on
+    sublane k and a huge negative elsewhere, so
+
+        window + T[xo]
+
+    leaves the selected sublane's values intact and poisons the rest; the
+    bin max then accumulates whole (8, CT) tiles (2 vreg-ops/sample in
+    bf16) with ONE deferred sublane reduce per bin. Bit-exact vs the old
+    select: adding 0.0 is exact, and poisoned lanes can never win the max
+    (features are finite, poison is finfo.min/2).
+    """
+
+    def kernel(ys_ref, x8_ref, xo_ref, scale_ref, feat_ref, out_ref,
+               tab_ref):
+        # Fill the additive table once (scratch persists across grid steps).
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            # Build in f32 (i1 masks from i32 compares have (8, 128) tiling,
+            # which Mosaic cannot relayout into a bf16 (16, 128) select).
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (8, CT), 0).astype(jnp.float32)
+            for k in range(8):
+                tab_ref[k] = jnp.where(
+                    sub == float(k), jnp.zeros((), jnp.float32),
+                    jnp.asarray(neg_val, jnp.float32)).astype(dtype)
 
         def one_roi(i):
             s = scale_ref[i, 0, 0].astype(dtype)
@@ -71,16 +105,16 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
                 py, px = b // R, b % R
                 acc = None
                 for sy in range(S):
+                    y = ys_ref[i, py, sy]
                     for sx in range(S):
-                        y = ys_ref[i, py, sy]
-                        x = xs_ref[i, px, sx]
-                        x8 = (x // 8) * 8
-                        rows = feat_ref[y, pl.ds(x8, 8), :]   # (8, CT)
-                        sel = jnp.where(lane == x - x8, rows, neg)
-                        m = jnp.max(sel, axis=0)              # (CT,)
-                        acc = m if acc is None else jnp.maximum(acc, m)
+                        x8 = pl.multiple_of(x8_ref[i, px, sx], 8)
+                        xo = xo_ref[i, px, sx]
+                        t = (feat_ref[y, pl.ds(x8, 8), :]     # (8, CT)
+                             + tab_ref[xo])
+                        acc = t if acc is None else jnp.maximum(acc, t)
+                m = jnp.max(acc, axis=0)                      # (CT,)
                 # fused epilogue: per-roi scaling ((objectness+1) * mask)
-                out_ref[i, b, :] = acc * s
+                out_ref[i, b, :] = m * s
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -128,12 +162,16 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     if W8 != W:
         features = jnp.pad(features, ((0, 0), (0, W8 - W), (0, 0)))
 
-    neg_val = float(jnp.finfo(features.dtype).min)
+    neg_val = float(jnp.finfo(features.dtype).min) / 2
+    x8 = (xs // 8) * 8
+    xo = xs - x8
     grid = (C // CT, P // RB)
     out = pl.pallas_call(
         _make_kernel(RB, R, S, CT, neg_val, features.dtype),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
@@ -146,6 +184,11 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
+        scratch_shapes=[pltpu.VMEM((8, 8, CT), features.dtype)],
+        # default scoped-vmem limit is 16M; the additive table (+64K) tips
+        # the double-buffered feature block over it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ys, xs, roi_scale.reshape(P, 1, 1), features)
+    )(ys, x8, xo, roi_scale.reshape(P, 1, 1), features)
     return out.reshape(P, R, R, C)
