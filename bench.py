@@ -26,16 +26,25 @@ BASELINE_IMG_PER_SEC_PER_GPU = 42.1 / 8  # MODEL_ZOO.md R50-DC5, 8xV100
 
 
 def main():
+    import os
+
     from __graft_entry__ import _synthetic_batch
     from drn_wsod_tpu.config import get_cfg
     from drn_wsod_tpu.engine import create_train_state, make_train_step
     from drn_wsod_tpu.models import build_model
     from drn_wsod_tpu.solver import build_optimizer
 
-    cfg = get_cfg()  # OICR R50-WS DC5 defaults
-    # B=1/chip matches the reference flagship (IMS_PER_BATCH 4 over 4 GPUs);
+    # The ACTUAL flagship config (reference oicr_WSR_50_DC5_1x.yaml):
+    # R50-WS DC5, DAN_DIM [2048, 4096] — not the [4096, 4096] generic-base
+    # default, which doubles FC1 FLOPs vs the reference R50 workload.
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs/PascalVOC-Detection/oicr_WSR_50_DC5_1x.yaml"))
+    # B=2/chip matches the baseline's per-device batch (Faster R-CNN R50-DC5
+    # trains 16 images over 8 V100s = 2 img/GPU, MODEL_ZOO.md:110-118);
     # H padded to the 704 bucket as the data pipeline would.
-    B, H, P = 1, 704, 4096
+    B, H, P = 2, 704, 4096
 
     model = build_model(cfg)
     batch = _synthetic_batch(B=B, H=H, W=H, P=P,
