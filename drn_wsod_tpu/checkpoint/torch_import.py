@@ -67,8 +67,11 @@ def _d2_name_to_flax(name: str) -> str:
     n = re.sub(r"^box_refinery\.(\d+)\.", r"box_refinery_\1.", n)
     # vgg: backbone.plain1.0.conv1.weight -> backbone.plain1.conv1.weight
     n = re.sub(r"\b(plain\d)\.0\.", r"\1.", n)
-    # torch leaf names -> flax
-    n = re.sub(r"\.weight$", ".kernel", n)
+    # torch leaf names -> flax. Norm modules keep the torch-style leaf name
+    # (our FrozenBatchNorm stores weight/bias/running_mean/running_var for
+    # checkpoint parity) — only conv/dense weights become flax "kernel".
+    if not re.search(r"_norm\.weight$", n):
+        n = re.sub(r"\.weight$", ".kernel", n)
     return n
 
 

@@ -151,36 +151,39 @@ def roi_pool(  # noqa: C901
     ph = jnp.arange(R, dtype=jnp.int32)
     flat = features.reshape(H * W, C)
 
-    def bounds(start, roi_size):
-        # torchvision: hstart = floor(ph * roi/R) + y1, hend = ceil((ph+1) *
-        # roi/R) + y1 — bin edges are integer ratios, so compute them with
-        # exact integer arithmetic (fp32 ceil leaks a cell when (ph+1)*roi/R
-        # lands epsilon above an integer).
+    def bounds(start, roi_size, size):
+        # torchvision: hstart = min(max(floor(ph * roi/R) + y1, 0), H),
+        # hend = min(max(ceil((ph+1) * roi/R) + y1, 0), H); empty bins
+        # (hend <= hstart — the bin lies off the feature map) pool to ZERO.
+        # Bin edges are integer ratios, so compute them with exact integer
+        # arithmetic (fp32 ceil leaks a cell when (ph+1)*roi/R lands epsilon
+        # above an integer).
         lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
         hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
-        return (jnp.maximum(lo, 0).astype(jnp.float32),
-                hi.astype(jnp.float32))
+        lo = jnp.clip(lo, 0, size)
+        hi = jnp.clip(hi, 0, size)
+        return (lo.astype(jnp.float32), hi.astype(jnp.float32),
+                hi > lo)                                     # (n, R) valid
 
     def pool_chunk(args):
         # Lean hot path: pure gathers + running max in the feature dtype.
         # No per-sample masks: sample position lo + floor(i*span/S) is always
-        # inside [lo, hi) for span >= 1, and spans are >= 1 because the data
-        # pipeline clips proposals to the image (degenerate/padded boxes pool
-        # cell 0 and are masked downstream). Out-of-map indices are clamped,
-        # matching torchvision's coordinate clamping.
+        # inside [lo, hi) for span >= 1 (bounds are pre-clamped to the map,
+        # matching torchvision). Off-map (empty) bins are zeroed at the end.
         cx1, cy1, cbw, cbh = args
-        hs, he = bounds(cy1, cbh)                  # (n, R)
-        ws, we = bounds(cx1, cbw)
+        hs, he, vy = bounds(cy1, cbh, H)           # (n, R)
+        ws, we, vx = bounds(cx1, cbw, W)
         acc = None
         for iy in range(S):
-            ypos = hs + jnp.floor(iy * (he - hs) / S)
+            ypos = hs + jnp.floor(iy * jnp.maximum(he - hs, 1.0) / S)
             yi = jnp.clip(ypos, 0, H - 1).astype(jnp.int32)
             for ix in range(S):
-                xpos = ws + jnp.floor(ix * (we - ws) / S)
+                xpos = ws + jnp.floor(ix * jnp.maximum(we - ws, 1.0) / S)
                 xi = jnp.clip(xpos, 0, W - 1).astype(jnp.int32)
                 v = _gather_rr(flat, yi, xi, W, C)
                 acc = v if acc is None else jnp.maximum(acc, v)
-        return acc
+        valid = (vy[:, :, None] & vx[:, None, :])[..., None]
+        return jnp.where(valid, acc, jnp.zeros((), acc.dtype))
 
     ch = min(chunk, P)
     if P % ch != 0:

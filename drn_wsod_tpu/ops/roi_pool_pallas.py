@@ -45,8 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sample_positions(boxes, spatial_scale, H, W, R, S):
-    """Integer sample coords (P, R, S) per axis — same math as
-    ops/roi_align.roi_pool (exact integer bin edges)."""
+    """Integer sample coords (P, R, S) per axis + per-bin validity (P, R) —
+    same math as ops/roi_align.roi_pool (exact integer bin edges, clamped to
+    the map; off-map bins are invalid and pool to zero, torchvision's
+    empty-bin semantics)."""
     scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
     x1, y1 = scaled[:, 0], scaled[:, 1]
     x2, y2 = scaled[:, 2], scaled[:, 3]
@@ -57,15 +59,16 @@ def _sample_positions(boxes, spatial_scale, H, W, R, S):
     def axis_positions(start, roi_size, size):
         lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
         hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
-        lo = jnp.maximum(lo, 0)
-        span = hi - lo
+        lo = jnp.clip(lo, 0, size)
+        hi = jnp.clip(hi, 0, size)
+        span = jnp.maximum(hi - lo, 1)
         i = jnp.arange(S, dtype=jnp.int32)
         pos = lo[..., None] + (i[None, None, :] * span[..., None]) // S
-        return jnp.clip(pos, 0, size - 1)                   # (P, R, S)
+        return jnp.clip(pos, 0, size - 1), (hi > lo)        # (P, R, S), (P, R)
 
-    ys = axis_positions(y1, roi_h, H)
-    xs = axis_positions(x1, roi_w, W)
-    return ys, xs
+    ys, vy = axis_positions(y1, roi_h, H)
+    xs, vx = axis_positions(x1, roi_w, W)
+    return ys, xs, vy, vx
 
 
 def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
@@ -100,7 +103,6 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
                     jnp.asarray(neg_val, jnp.float32)).astype(dtype)
 
         def one_roi(i):
-            s = scale_ref[i, 0, 0].astype(dtype)
             for b in range(R * R):           # static: aligned output stores
                 py, px = b // R, b % R
                 acc = None
@@ -113,8 +115,10 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
                              + tab_ref[xo])
                         acc = t if acc is None else jnp.maximum(acc, t)
                 m = jnp.max(acc, axis=0)                      # (CT,)
-                # fused epilogue: per-roi scaling ((objectness+1) * mask)
-                out_ref[i, b, :] = m * s
+                # fused epilogue: per-bin scale = (objectness+1) * validity
+                # * bin-on-map (0 zeroes off-map/empty bins, torchvision
+                # semantics)
+                out_ref[i, b, :] = m * scale_ref[i, py, px].astype(dtype)
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -152,10 +156,12 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     while C % CT != 0:
         CT //= 2
 
-    ys, xs = _sample_positions(boxes, spatial_scale, H, W, R, S)
+    ys, xs, vy, vx = _sample_positions(boxes, spatial_scale, H, W, R, S)
     if roi_scale is None:
         roi_scale = jnp.ones((P,), jnp.float32)
-    roi_scale = roi_scale.astype(jnp.float32)
+    # per-bin scale: roi scale where the bin intersects the map, 0 otherwise
+    bin_scale = (roi_scale.astype(jnp.float32)[:, None, None]
+                 * vy[:, :, None] * vx[:, None, :])          # (P, R, R)
 
     # pad W (sublane dim) to a multiple of 8 for aligned window loads
     W8 = -(-W // 8) * 8
@@ -176,7 +182,7 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, 1, 1), lambda c, r: (r, 0, 0),
+            pl.BlockSpec((RB, R, R), lambda c, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
                          memory_space=pltpu.VMEM),
@@ -190,5 +196,5 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ys, x8, xo, roi_scale.reshape(P, 1, 1), features)
+    )(ys, x8, xo, bin_scale, features)
     return out.reshape(P, R, R, C)

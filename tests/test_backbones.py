@@ -11,6 +11,7 @@ from drn_wsod_tpu.models.backbones import ResNetWS, VGG16
     (50, 2, 8, 2048),
     (50, 1, 16, 2048),
 ])
+@pytest.mark.slow
 def test_resnet_ws_stride_and_channels(depth, dilation, stride, chan):
     res2 = 64 if depth in (18, 34) else 256
     model = ResNetWS(depth=depth, res5_dilation=dilation,

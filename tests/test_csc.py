@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +81,7 @@ def test_compute_cpg_batched():
     np.testing.assert_allclose(np.asarray(cpg[0, 1]), 0.0)
 
 
+@pytest.mark.slow
 def test_csc_train_step_e2e_tiny():
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))

@@ -2,6 +2,9 @@
 synthetic 5-image VOC subset with precomputed proposals — data pipeline ->
 sharded train loop -> checkpoint -> eval (AP + CorLoc)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full train->checkpoint->eval cycles
 import os
 import pickle
 

@@ -1,6 +1,7 @@
 """Supervised Fast R-CNN head tests (pattern of the reference
 tests/modeling/test_fast_rcnn.py: loss values + shapes on tiny inputs)."""
 
+import pytest
 import os
 import sys
 
@@ -62,6 +63,7 @@ def test_fast_rcnn_losses_perfect_predictions():
     assert float(lb) < 1e-6  # proposals == gt -> zero deltas are perfect
 
 
+@pytest.mark.slow
 def test_fast_rcnn_meta_arch_e2e():
     cfg = tiny_cfg("StandardROIHeads")
     model = build_model(cfg)

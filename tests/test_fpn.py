@@ -1,3 +1,4 @@
+import pytest
 import os
 import sys
 
@@ -39,6 +40,7 @@ def test_level_assignment():
     assert lv[2] == 5
 
 
+@pytest.mark.slow
 def test_fpn_wsod_model_e2e():
     cfg = tiny_cfg("OICRROIHeads")
     cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"

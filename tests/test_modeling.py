@@ -80,6 +80,7 @@ def test_oicr_reg_branch_adds_box_loss():
     assert np.isfinite(float(losses["loss_box_reg_r1"]))
 
 
+@pytest.mark.slow
 def test_grads_flow_to_head_not_backbone():
     cfg = tiny_cfg("OICRROIHeads")
     model = build_model(cfg)

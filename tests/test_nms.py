@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_nms_mask_chain():
     np.testing.assert_array_equal(keep, [True, False, True, False])
 
 
+@pytest.mark.slow
 def test_nms_vs_reference_random():
     rng = np.random.RandomState(0)
     for trial in range(5):

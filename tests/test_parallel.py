@@ -43,6 +43,7 @@ def test_mesh_creation():
     assert mesh2.devices.size == 2
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     model, tx, variables, batch = _setup(B=8)
     rng = jax.random.PRNGKey(42)
@@ -67,6 +68,7 @@ def test_sharded_step_matches_single_device():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_sharded_params_stay_replicated_and_update():
     model, tx, variables, batch = _setup(B=8)
     mesh = create_mesh(("data",), (8,))

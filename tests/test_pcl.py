@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_pcl_loss_decreases_with_correct_probs():
     assert l_good < l_bad
 
 
+@pytest.mark.slow
 def test_pcl_branch_loss_batched_finite():
     import jax
 

@@ -9,6 +9,7 @@ from drn_wsod_tpu.ops.roi_align import roi_pool
 from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_pallas_matches_xla(seed):
     rng = np.random.RandomState(seed)

@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def test_corners_rotated_90():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_iou_identity_and_disjoint():
     b = jnp.asarray([[10.0, 10.0, 8.0, 6.0, 30.0],
                      [100.0, 100.0, 8.0, 6.0, -15.0]])
@@ -31,6 +33,7 @@ def test_iou_identity_and_disjoint():
     assert iou[0, 1] < 1e-6
 
 
+@pytest.mark.slow
 def test_iou_rotated_vs_axis_aligned_half_overlap():
     # angle 0 degenerates to standard IoU: two boxes overlapping half
     a = jnp.asarray([[5.0, 5.0, 10.0, 10.0, 0.0]])
@@ -46,6 +49,7 @@ def test_iou_90_rotation_square_invariance():
     np.testing.assert_allclose(iou, 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_nms_rotated():
     boxes = jnp.asarray([
         [10.0, 10.0, 10.0, 10.0, 0.0],

@@ -14,7 +14,9 @@ from drn_wsod_tpu.checkpoint.torch_import import (_convert_array,
 def test_name_mapping():
     cases = {
         "backbone.stem.conv1.weight": "backbone.stem.conv1.kernel",
-        "backbone.stem.conv1.norm.weight": "backbone.stem.conv1_norm.kernel",
+        # norm affine weights keep the torch leaf name (FrozenBatchNorm
+        # stores weight/bias/running_mean/running_var)
+        "backbone.stem.conv1.norm.weight": "backbone.stem.conv1_norm.weight",
         "backbone.res2.0.conv1.weight": "backbone.res2_0.conv1.kernel",
         "backbone.res2.0.conv1.norm.running_mean":
             "backbone.res2_0.conv1_norm.running_mean",

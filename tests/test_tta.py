@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_invert_boxes_flip():
     np.testing.assert_allclose(out[0, 0], [70.0, 5.0, 90.0, 25.0])
 
 
+@pytest.mark.slow
 def test_tta_avg_on_identical_views_matches_single():
     """With one scale and no flip, TTA-AVG must equal the plain detector."""
     import sys, os

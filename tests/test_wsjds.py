@@ -1,5 +1,6 @@
 """WSJDS joint detection+segmentation smoke test."""
 
+import pytest
 import os
 import sys
 
@@ -14,6 +15,7 @@ from drn_wsod_tpu.models import build_model  # noqa: E402
 from drn_wsod_tpu.solver import build_optimizer  # noqa: E402
 
 
+@pytest.mark.slow
 def test_wsjds_train_step():
     cfg = tiny_cfg("WSJDSROIHeads")
     model = build_model(cfg)
