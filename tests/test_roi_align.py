@@ -120,3 +120,69 @@ def test_roi_pool_grad_flows():
     g = jax.grad(f)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def _brute_force_roi_pool(feats, boxes, scale=1 / 8, R=7):
+    """Direct torchvision-RoIPool reference: integer bins, exact max over
+    every cell, empty (off-map) bins = 0."""
+    Hf, Wf, C = feats.shape
+    out = np.zeros((len(boxes), R, R, C), np.float32)
+    for n, (bx1, by1, bx2, by2) in enumerate(boxes):
+        x1, y1, x2, y2 = [int(round(float(v) * scale))
+                          for v in (bx1, by1, bx2, by2)]
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        for ph in range(R):
+            hs = min(max(ph * rh // R + y1, 0), Hf)
+            he = min(max(-((-(ph + 1) * rh) // R) + y1, 0), Hf)
+            for pw in range(R):
+                ws = min(max(pw * rw // R + x1, 0), Wf)
+                we = min(max(-((-(pw + 1) * rw) // R) + x1, 0), Wf)
+                if he > hs and we > ws:
+                    out[n, ph, pw] = feats[hs:he, ws:we].max((0, 1))
+    return out
+
+
+def test_roi_pool_exact_all_bin_sizes():
+    """The sparse-table (RMQ) roi_pool is EXACT for every bin size — large
+    context/whole-image boxes included (bins up to ~14 cells on the 87x87
+    DC5 map; the old 2x2 sampled max had ~45% mean error there)."""
+    H = W = 87  # 704px image at DC5 stride 8 (res3 s1-pool shrinks by 1)
+    C = 16
+    rng = np.random.RandomState(0)
+    feats = rng.randn(H, W, C).astype(np.float32)
+    P = 512
+    s = rng.uniform(0.05, 1.0, P) ** 0.5
+    bw = s * 700
+    bh = s * 700 * rng.uniform(0.5, 2.0, P)
+    x1 = rng.uniform(0, np.maximum(703 - bw, 1))
+    y1 = rng.uniform(0, np.maximum(703 - bh, 1))
+    boxes = np.stack([x1, y1, np.minimum(x1 + bw, 703),
+                      np.minimum(y1 + bh, 703)], -1).astype(np.float32)
+    boxes[:20] = [0, 0, 703, 703]  # whole-image proposals
+
+    want = _brute_force_roi_pool(feats, boxes)
+    got = np.asarray(roi_pool(jnp.asarray(feats), jnp.asarray(boxes), 1 / 8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_roi_pool_pallas_exact_all_bin_sizes():
+    from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas
+
+    H = W = 30
+    C = 8
+    rng = np.random.RandomState(1)
+    feats = rng.randn(H, W, C).astype(np.float32)
+    P = 32
+    x1 = rng.uniform(0, 200, P)
+    y1 = rng.uniform(0, 200, P)
+    x2 = np.minimum(x1 + rng.uniform(8, 239, P), 239)
+    y2 = np.minimum(y1 + rng.uniform(8, 239, P), 239)
+    boxes = np.stack([x1, y1, x2, y2], -1).astype(np.float32)
+    boxes[:4] = [0, 0, 239, 239]
+
+    want = _brute_force_roi_pool(feats, boxes)
+    got = np.asarray(roi_pool_pallas(
+        jnp.asarray(feats), jnp.asarray(boxes), 1 / 8,
+        roi_block=8, c_tile=8, interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -25,6 +25,6 @@ def test_pallas_matches_xla(seed):
     want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25,
                                resolution=7, samples=2))
     got = np.asarray(roi_pool_pallas(jnp.asarray(feat), jnp.asarray(boxes),
-                                     0.25, resolution=7, samples=2,
+                                     0.25, resolution=7,
                                      roi_block=4, c_tile=8, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -84,7 +84,7 @@ def main():
 
     @jax.jit
     def pool_b(feats, boxes, scale):
-        one = lambda f, bx, s: roi_pool_pallas(f, bx, 0.125, 7, 2,
+        one = lambda f, bx, s: roi_pool_pallas(f, bx, 0.125, 7,
                                                roi_scale=s)
         return jax.vmap(one)(
             jnp.broadcast_to(feats, (B, Hf, Hf, C)),
