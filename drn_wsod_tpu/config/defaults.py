@@ -46,6 +46,11 @@ def get_cfg() -> CfgNode:
     _C.MODEL.RESNETS.STRIDE_IN_1X1 = True
     _C.MODEL.RESNETS.RES5_DILATION = 2
     _C.MODEL.RESNETS.NORM = "FrozenBN"
+    # deformable bottlenecks (reference defaults.py:488-493): one flag per
+    # stage res2..res5; v2 (modulated) toggled globally
+    _C.MODEL.RESNETS.DEFORM_ON_PER_STAGE = [False, False, False, False]
+    _C.MODEL.RESNETS.DEFORM_MODULATED = False
+    _C.MODEL.RESNETS.DEFORM_NUM_GROUPS = 1
 
     _C.MODEL.FPN = CfgNode()
     _C.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 NUM_BLOCKS_PER_STAGE = {
@@ -178,6 +179,92 @@ class BottleneckBlock(nn.Module):
         return out
 
 
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck whose 3x3 conv is deformable (v1) or modulated-deformable
+    (v2), mirroring the reference DeformBottleneckBlock
+    (projects/WSL/wsl/modeling/backbone/resnet_ws.py:240-354): offsets (and
+    v2 modulation masks) come from a zero-initialized ``conv2_offset`` so
+    the block starts out exactly equal to a plain bottleneck.
+
+    The deformable conv itself is the TPU-native gather+einsum op
+    (ops/deform_conv.py) replacing the reference CUDA kernels
+    (detectron2/layers/csrc/deformable/).
+    """
+
+    out_channels: int
+    bottleneck_channels: int
+    dilation: int = 1
+    num_groups: int = 1
+    deform_modulated: bool = False
+    has_pool: bool = False
+    pool_stride: int = 1
+    norm: str = "FrozenBN"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ...ops.deform_conv import deform_conv2d
+
+        assert self.num_groups == 1, \
+            "deformable bottleneck supports NUM_GROUPS=1 (no grouped einsum)"
+        in_channels = x.shape[-1]
+        bc = self.bottleneck_channels
+        out = _conv(x, bc, 1, name="conv1", dtype=self.dtype)
+        out = _apply_norm(_norm_layer(self.norm, bc, "conv1_norm"), out, train)
+        out = nn.relu(out)
+
+        K = 3
+        d = self.dilation
+        offset_ch = (27 if self.deform_modulated else 18)
+        # zero init: the block starts as a plain bottleneck (reference
+        # resnet_ws.py:327-328)
+        off = nn.Conv(
+            offset_ch, (K, K), padding=[(d, d)] * 2, kernel_dilation=(d, d),
+            use_bias=True, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="conv2_offset",
+        )(out).astype(jnp.float32)
+
+        weight = self.param(
+            "conv2_deform_weight",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (K, K, bc, bc)).astype(self.dtype)
+
+        if self.deform_modulated:
+            # reference layout: chunk(offset_mask, 3) = x-offsets, y-offsets,
+            # mask; our op wants per-tap (dy, dx) interleaved
+            off_x, off_y, mask = jnp.split(off, 3, axis=-1)
+            offsets = jnp.stack([off_y, off_x], axis=-1).reshape(
+                *off.shape[:-1], 2 * K * K)
+            modulation = jax.nn.sigmoid(mask)
+            out = jax.vmap(
+                lambda o, f, m: deform_conv2d(
+                    o, f, weight, m, kernel_size=K, dilation=d)
+            )(out, offsets, modulation)
+        else:
+            out = jax.vmap(
+                lambda o, f: deform_conv2d(
+                    o, f, weight, kernel_size=K, dilation=d)
+            )(out, off)
+        out = _apply_norm(_norm_layer(self.norm, bc, "conv2_norm"), out, train)
+        out = nn.relu(out)
+
+        out = _conv(out, self.out_channels, 1, name="conv3", dtype=self.dtype)
+        out = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                      "conv3_norm"), out, train)
+
+        if in_channels != self.out_channels:
+            sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
+            sc = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                         "shortcut_norm"), sc, train)
+        else:
+            sc = x
+
+        out = nn.relu(out + sc)
+        if self.has_pool:
+            out = _maxpool2(out, self.pool_stride)
+        return out
+
+
 class BasicStem(nn.Module):
     """3-conv stem + 2x2/s2 pool (resnet_ws.py:357-415). Output stride 4."""
 
@@ -212,6 +299,10 @@ class ResNetWS(nn.Module):
     out_features: Sequence[str] = ("res5",)
     pyramid: bool = False
     norm: str = "FrozenBN"
+    # deformable bottlenecks per stage (reference MODEL.RESNETS.DEFORM_*,
+    # resnet_ws.py:240-354); bottleneck depths only
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
@@ -288,7 +379,9 @@ class ResNetWS(nn.Module):
                                  self.res2_out_channels,
                                  self.num_groups * self.width_per_group,
                                  max_stage=max_stage, pyramid=self.pyramid)
-        for spec in specs:
+        for stage_idx, spec in enumerate(specs):
+            deform = (not basic and stage_idx < len(self.deform_on_per_stage)
+                      and self.deform_on_per_stage[stage_idx])
             for b in range(spec["num_blocks"]):
                 last = b == spec["num_blocks"] - 1
                 kwargs = dict(
@@ -302,6 +395,13 @@ class ResNetWS(nn.Module):
                 )
                 if basic:
                     x = BasicBlock(**kwargs)(x, train=train)
+                elif deform:
+                    x = DeformBottleneckBlock(
+                        bottleneck_channels=spec["bottleneck_channels"],
+                        num_groups=self.num_groups,
+                        deform_modulated=self.deform_modulated,
+                        **kwargs,
+                    )(x, train=train)
                 else:
                     x = BottleneckBlock(
                         bottleneck_channels=spec["bottleneck_channels"],
@@ -327,6 +427,8 @@ def build_ws_resnet_backbone(cfg) -> Tuple[ResNetWS, Dict[str, int], Dict[str, i
         res5_dilation=r.RES5_DILATION,
         out_features=tuple(r.OUT_FEATURES),
         norm=r.NORM,
+        deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
+        deform_modulated=r.DEFORM_MODULATED,
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
     )
     return model, model.feature_strides, model.feature_channels

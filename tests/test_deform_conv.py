@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,3 +55,46 @@ def test_grad_flows():
 
     g = jax.grad(lambda o: deform_conv2d(x, o, w).sum())(off)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_deform_bottleneck_in_ws_resnet_trains():
+    """DEFORM_ON_PER_STAGE wires DeformBottleneckBlock into WS-ResNet and a
+    train step runs (reference resnet_ws.py:240-354 + defaults.py:488-493).
+    Zero-init offsets: at init the deform blocks behave as plain convs."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_modeling import tiny_batch, tiny_cfg
+
+    from drn_wsod_tpu.models import build_model
+
+    cfg = tiny_cfg("OICRROIHeads", depth=50)
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE = [False, False, True, True]
+    cfg.MODEL.RESNETS.DEFORM_MODULATED = True
+    model = build_model(cfg)
+    batch = tiny_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, train=True)
+    bb = variables["params"]["backbone"]
+    assert "conv2_offset" in bb["res4_0"], sorted(bb["res4_0"])
+    assert "conv2_deform_weight" in bb["res4_0"]
+    assert "conv2_offset" not in bb["res2_0"]
+
+    losses = model.apply(variables, batch, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_deform_config_yaml_builds():
+    from drn_wsod_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "PascalVOC-Detection", "oicr_WSR_50_DC5_deform_1x.yaml"))
+    assert cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE == [False, False, True, True]
+    assert cfg.MODEL.RESNETS.DEFORM_MODULATED is True
+
