@@ -54,33 +54,53 @@ def _collate(samples: List[Dict[str, np.ndarray]]) -> WSODBatch:
 class TrainLoader:
     """Infinite shuffled loader with bucket-grouped batches.
 
+    ``batch_size`` is the GLOBAL batch (reference SOLVER.IMS_PER_BATCH
+    semantics, data/build.py:300-356). On a multi-host job every process
+    runs the SAME shuffled index stream (shared seed) and the same
+    metadata-only bucket plan (DatasetMapper.plan_bucket), so all hosts
+    agree on each global batch's membership and image bucket; each host then
+    decodes only its ``rank::world`` slice. This is the static-shape
+    equivalent of the reference's rank-sliced TrainingSampler
+    (detectron2/data/samplers/distributed_sampler.py:12-57) — with the extra
+    bucket agreement a jit'ed global-batch step requires.
+
     ``num_workers`` threads run the mapper concurrently (PIL decode releases
     the GIL) — the threaded analog of the reference's DataLoader worker
     processes (detectron2/data/build.py:249-410)."""
 
     def __init__(self, records: List[dict], mapper: Callable,
                  batch_size: int, seed: int = 0, prefetch: int = 2,
-                 num_workers: int = 0):
+                 num_workers: int = 0, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         assert len(records) > 0
+        import jax
+
         self._records = records
         self._mapper = mapper
         self._batch_size = batch_size
         self._seed = seed
         self._prefetch = prefetch
         self._num_workers = num_workers
+        self._rank = (jax.process_index() if process_index is None
+                      else process_index)
+        self._world = (jax.process_count() if process_count is None
+                       else process_count)
+        assert batch_size % self._world == 0,             f"IMS_PER_BATCH {batch_size} not divisible by {self._world} hosts"
 
     def _index_iter(self):
         rng = np.random.RandomState(self._seed)
         while True:
             for idx in rng.permutation(len(self._records)):
                 # per-sample rng seeded deterministically from the stream
-                yield int(idx), np.random.RandomState(rng.randint(2 ** 31))
+                yield int(idx), int(rng.randint(2 ** 31))
 
     def _sample_iter(self):
+        """Single-host fast path: decode first, group by the decoded bucket."""
         indices = self._index_iter()
         if self._num_workers <= 1:
-            for idx, rng in indices:
-                sample = self._mapper(self._records[idx], rng,
+            for idx, seed in indices:
+                sample = self._mapper(self._records[idx],
+                                      np.random.RandomState(seed),
                                       dataset_index=idx)
                 if sample is not None:
                     yield sample
@@ -90,16 +110,16 @@ class TrainLoader:
         with ThreadPoolExecutor(self._num_workers) as pool:
             inflight = []
             depth = self._num_workers * 2
-            for idx, rng in indices:
+            for idx, seed in indices:
                 inflight.append(pool.submit(
-                    self._mapper, self._records[idx], rng,
-                    dataset_index=idx))
+                    self._mapper, self._records[idx],
+                    np.random.RandomState(seed), dataset_index=idx))
                 if len(inflight) >= depth:
                     sample = inflight.pop(0).result()
                     if sample is not None:
                         yield sample
 
-    def _batch_iter(self):
+    def _batch_iter_single(self):
         buffers: Dict[int, list] = {}
         for sample in self._sample_iter():
             b = buffers.setdefault(sample["_bucket"], [])
@@ -107,6 +127,35 @@ class TrainLoader:
             if len(b) == self._batch_size:
                 yield _collate(b)
                 buffers[sample["_bucket"]] = []
+
+    def _batch_iter_multihost(self):
+        """Plan buckets from metadata on the shared stream; decode only this
+        host's slice of each global batch."""
+        local_bs = self._batch_size // self._world
+
+        def decode(item):
+            idx, seed = item
+            sample = self._mapper(self._records[idx],
+                                  np.random.RandomState(seed),
+                                  dataset_index=idx)
+            assert sample is not None,                 "mapper dropped a sample inside a multi-host global batch"
+            return sample
+
+        buffers: Dict[int, list] = {}
+        for idx, seed in self._index_iter():
+            bucket = self._mapper.plan_bucket(self._records[idx],
+                                              np.random.RandomState(seed))
+            b = buffers.setdefault(bucket, [])
+            b.append((idx, seed))
+            if len(b) == self._batch_size:
+                local = b[self._rank::self._world][:local_bs]
+                yield _collate([decode(item) for item in local])
+                buffers[bucket] = []
+
+    def _batch_iter(self):
+        if self._world == 1:
+            return self._batch_iter_single()
+        return self._batch_iter_multihost()
 
     def __iter__(self) -> Iterator[WSODBatch]:
         if self._prefetch <= 0:
@@ -120,8 +169,17 @@ class TestLoader:
     of the last sample (masked out downstream via image_id bookkeeping)."""
 
     def __init__(self, records: List[dict], mapper: Callable,
-                 batch_size: int = 1, prefetch: int = 2):
-        self._records = records
+                 batch_size: int = 1, prefetch: int = 2,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        import jax
+
+        rank = jax.process_index() if process_index is None else process_index
+        world = jax.process_count() if process_count is None else process_count
+        # rank-strided shard of the dataset (reference InferenceSampler,
+        # distributed_sampler.py:57-90); predictions are gathered back to
+        # the main process before evaluate() (parallel/multihost.py)
+        self._records = records[rank::world] if world > 1 else records
         self._mapper = mapper
         self._batch_size = batch_size
         self._prefetch = prefetch

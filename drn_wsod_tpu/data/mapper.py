@@ -69,6 +69,26 @@ class DatasetMapper:
                 cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST))
         self.augmentations = augs
 
+    def plan_bucket(self, record: Dict, rng: np.random.RandomState) -> int:
+        """Predict the sample's size bucket from record metadata alone —
+        no pixel decode. Consumes rng draws exactly as __call__ does (all
+        Augmentation.get_transform implementations read only image.shape +
+        rng), so a fresh RandomState with the same seed reproduces the same
+        transforms at decode time. This is what lets every host of a
+        multi-host job agree on global bucket-grouped batches while decoding
+        only its own shard (reference TrainingSampler shares the stream the
+        same way, distributed_sampler.py:12-57)."""
+        if "image" in record:
+            h, w = record["image"].shape[:2]
+        else:
+            h, w = int(record["height"]), int(record["width"])
+        dummy = np.broadcast_to(np.zeros((), np.float32), (h, w, 3))
+        for aug in self.augmentations:
+            t = aug.get_transform(dummy, rng)
+            h, w = t.output_size((h, w))
+            dummy = np.broadcast_to(np.zeros((), np.float32), (h, w, 3))
+        return pick_bucket(h, w, self.buckets, self.divisibility)
+
     def __call__(self, record: Dict, rng: np.random.RandomState,
                  dataset_index: int = 0) -> Dict[str, np.ndarray]:
         if "image" in record:

@@ -16,6 +16,12 @@ from PIL import Image
 
 
 class Transform:
+    def output_size(self, hw):
+        """(h, w) -> post-transform (h, w); lets loaders plan size buckets
+        from record metadata without decoding pixels (multi-host bucket
+        agreement)."""
+        return hw
+
     def apply_image(self, img: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
@@ -48,6 +54,11 @@ class NoOpTransform(Transform):
 
 
 class TransformList(Transform):
+    def output_size(self, hw):
+        for t in self.tfms:
+            hw = t.output_size(hw)
+        return hw
+
     def __init__(self, tfms: Sequence[Transform]):
         self.transforms: List[Transform] = list(tfms)
 
@@ -70,6 +81,9 @@ class TransformList(Transform):
 
 
 class ResizeTransform(Transform):
+    def output_size(self, hw):
+        return (self.new_h, self.new_w)
+
     def __init__(self, h: int, w: int, new_h: int, new_w: int):
         self.h, self.w, self.new_h, self.new_w = h, w, new_h, new_w
 
@@ -108,6 +122,9 @@ class HFlipTransform(Transform):
 
 
 class CropTransform(Transform):
+    def output_size(self, hw):
+        return (self.h, self.w)
+
     def __init__(self, x0: int, y0: int, w: int, h: int,
                  orig_w: int = 0, orig_h: int = 0):
         self.x0, self.y0, self.w, self.h = x0, y0, w, h

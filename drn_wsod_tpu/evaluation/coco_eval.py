@@ -121,6 +121,17 @@ class COCODetectionEvaluator:
             self._dets[int(classes[i])][image_id].append(
                 (float(scores[i]), *[float(v) for v in boxes[i]]))
 
+    def state_dict(self):
+        """Picklable accumulated predictions (for multi-host gather)."""
+        return {c: {img: list(d) for img, d in per.items()}
+                for c, per in self._dets.items()}
+
+    def merge_states(self, states):
+        for st in states:
+            for c, per in st.items():
+                for img, d in per.items():
+                    self._dets[int(c)][img].extend(d)
+
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         per_class_ap = {}     # cls -> (T, A) AP array
         results = {}

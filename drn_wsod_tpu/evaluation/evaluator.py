@@ -87,4 +87,20 @@ def inference_on_dataset(detect_fn: Callable, variables, loader,
         logger.info(
             f"Inference: {total_time / total_images:.4f} s/img "
             f"({total_images / max(total_time, 1e-9):.2f} img/s)")
+    return gather_and_evaluate(evaluator)
+
+
+def gather_and_evaluate(evaluator) -> Dict:
+    """Multi-host: all-gather per-host prediction state over DCN and
+    evaluate on the main process only (reference rank gather,
+    pascal_voc_evaluation.py:66-77; comm.gather). Single host: plain
+    evaluate()."""
+    from ..parallel import multihost
+
+    if multihost.get_world_size() > 1:
+        states = multihost.all_gather_object(evaluator.state_dict())
+        if not multihost.is_main_process():
+            return {}
+        evaluator.reset()
+        evaluator.merge_states(states)
     return evaluator.evaluate()

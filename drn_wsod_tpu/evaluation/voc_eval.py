@@ -228,6 +228,17 @@ class PascalVOCDetectionEvaluator:
             self._dets[int(classes[i])].append(
                 (image_id, float(scores[i]), x1 + 1.0, y1 + 1.0, x2, y2))
 
+    def state_dict(self):
+        """Picklable accumulated predictions (for multi-host gather)."""
+        return {k: list(v) for k, v in self._dets.items()}
+
+    def merge_states(self, states):
+        """Fold gathered per-host prediction states in (reference rank
+        gather, pascal_voc_evaluation.py:66-77)."""
+        for st in states:
+            for k, v in st.items():
+                self._dets[int(k)].extend(v)
+
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         aps = defaultdict(list)
         corlocs = defaultdict(list)

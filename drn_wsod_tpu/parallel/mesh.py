@@ -47,7 +47,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host-assembled global batch onto the mesh, sharded on the
-    batch dimension."""
+    """Place a batch onto the mesh, sharded on the batch dimension.
+
+    Single host: ``batch`` is the global batch. Multi-host: ``batch`` is
+    this process's local shard (TrainLoader decodes rank::world of each
+    global batch) and the global jax.Array is assembled from per-process
+    data over DCN (the JAX-native analogue of DDP's per-rank loaders)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -37,10 +37,12 @@ from drn_wsod_tpu.engine.defaults import (default_argument_parser,
                                           default_setup, _init_variables)
 from drn_wsod_tpu.evaluation import (PascalVOCDetectionEvaluator,
                                      inference_on_dataset, make_detect_fn)
+from drn_wsod_tpu.evaluation.evaluator import gather_and_evaluate
 from drn_wsod_tpu.models import build_model
 from drn_wsod_tpu.parallel import (create_mesh, make_sharded_csc_train_step,
                                    make_sharded_train_step, replicated,
                                    shard_batch)
+from drn_wsod_tpu.parallel import multihost
 from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
 
 logger = logging.getLogger("drn_wsod_tpu")
@@ -90,12 +92,15 @@ def do_test(cfg, model, variables, eval_train: bool = False):
             tta = GeneralizedRCNNWithTTAAVG(cfg, model, variables)
             evaluator = build_evaluator(cfg, name, records)
             evaluator.reset()
-            for r in records:
+            # rank-strided image shard (reference InferenceSampler); the
+            # gather below reassembles predictions on the main process
+            local = records[multihost.get_rank()::multihost.get_world_size()]
+            for r in local:
                 dets = tta(r)
                 evaluator.process_single(
                     str(r["image_id"]), dets["boxes"], dets["scores"],
                     dets["classes"], dets["valid"])
-            results[name] = evaluator.evaluate()
+            results[name] = gather_and_evaluate(evaluator)
         else:
             loader = build_detection_test_loader(
                 cfg, name, mapper,
@@ -163,10 +168,14 @@ def do_train(cfg, model, resume: bool = False):
                       lr_schedule=build_lr_schedule(cfg))
     if _trainer_box is not None:
         _trainer_box.append(trainer)
-    writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
-               JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
-    hooks = [IterationTimer(), PeriodicWriter(writers),
-             PeriodicCheckpointer(checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD)]
+    hooks = [IterationTimer()]
+    if multihost.is_main_process():
+        # rank-0-only writers/checkpoints (reference defaults.py:321-366)
+        writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
+                   JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
+        hooks += [PeriodicWriter(writers),
+                  PeriodicCheckpointer(checkpointer,
+                                       cfg.SOLVER.CHECKPOINT_PERIOD)]
     if cfg.TEST.EVAL_PERIOD > 0:
         hooks.append(EvalHook(
             cfg.TEST.EVAL_PERIOD,
