@@ -150,6 +150,9 @@ def get_cfg() -> CfgNode:
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.ASPECT_RATIO_GROUPING = True
     _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+    # for RepeatFactorTrainingSampler (reference defaults.py): oversample
+    # images whose rarest category has frequency below this threshold
+    _C.DATALOADER.REPEAT_THRESHOLD = 0.0
     _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
     _C.DATALOADER.PREFETCH = 2
 

@@ -64,3 +64,24 @@ def register_coco_instances(name: str, json_file: str, image_root: str):
         name, lambda: load_coco_json(json_file, image_root, name))
     MetadataCatalog.get(name).set(
         json_file=json_file, image_root=image_root, evaluator_type="coco")
+
+
+# builtin COCO registrations (reference detectron2/data/datasets/builtin.py)
+_BUILTIN_COCO = {
+    "coco_2014_train": ("coco/train2014",
+                        "coco/annotations/instances_train2014.json"),
+    "coco_2014_val": ("coco/val2014",
+                      "coco/annotations/instances_val2014.json"),
+    "coco_2017_train": ("coco/train2017",
+                        "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017",
+                      "coco/annotations/instances_val2017.json"),
+}
+
+
+def register_all_coco(root: str = "datasets"):
+    for name, (image_root, json_file) in _BUILTIN_COCO.items():
+        if name not in DatasetCatalog:
+            register_coco_instances(
+                name, os.path.join(root, json_file),
+                os.path.join(root, image_root))

@@ -24,8 +24,10 @@ def load_lvis_json(json_file: str, image_root: str,
     if dataset_name is not None:
         MetadataCatalog.get(dataset_name).set(
             thing_classes=[c["name"] for c in cats],
+            # LVIS v1 per-category frequency tag (r/c/f) drives APr/APc/APf
+            thing_frequencies=[c.get("frequency", "f") for c in cats],
             json_file=json_file, image_root=image_root,
-            evaluator_type="coco")
+            evaluator_type="lvis")
 
     anns_by_image = {}
     for a in data.get("annotations", []):
@@ -61,4 +63,20 @@ def register_lvis_instances(name: str, json_file: str, image_root: str):
     DatasetCatalog.register(
         name, lambda: load_lvis_json(json_file, image_root, name))
     MetadataCatalog.get(name).set(json_file=json_file, image_root=image_root,
-                                  evaluator_type="coco")
+                                  evaluator_type="lvis")
+
+
+_BUILTIN_LVIS = {
+    "lvis_v1_train": ("coco/", "lvis/lvis_v1_train.json"),
+    "lvis_v1_val": ("coco/", "lvis/lvis_v1_val.json"),
+}
+
+
+def register_all_lvis(root: str = "datasets"):
+    from ..catalog import DatasetCatalog
+
+    for name, (image_root, json_file) in _BUILTIN_LVIS.items():
+        if name not in DatasetCatalog:
+            register_lvis_instances(
+                name, os.path.join(root, json_file),
+                os.path.join(root, image_root))

@@ -71,7 +71,8 @@ class TrainLoader:
     def __init__(self, records: List[dict], mapper: Callable,
                  batch_size: int, seed: int = 0, prefetch: int = 2,
                  num_workers: int = 0, process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 repeat_factors: Optional[np.ndarray] = None):
         assert len(records) > 0
         import jax
 
@@ -81,6 +82,8 @@ class TrainLoader:
         self._seed = seed
         self._prefetch = prefetch
         self._num_workers = num_workers
+        self._repeat_factors = (None if repeat_factors is None
+                                else np.asarray(repeat_factors, np.float64))
         self._rank = (jax.process_index() if process_index is None
                       else process_index)
         self._world = (jax.process_count() if process_count is None
@@ -89,8 +92,19 @@ class TrainLoader:
 
     def _index_iter(self):
         rng = np.random.RandomState(self._seed)
+        rf = self._repeat_factors
         while True:
-            for idx in rng.permutation(len(self._records)):
+            if rf is None:
+                epoch = rng.permutation(len(self._records))
+            else:
+                # RepeatFactorTrainingSampler: integer part deterministic,
+                # fractional part rounded stochastically per epoch
+                # (reference distributed_sampler.py:173-257)
+                reps = np.floor(rf).astype(np.int64)
+                reps += (rng.rand(len(rf)) < (rf - np.floor(rf)))
+                epoch = rng.permutation(np.repeat(
+                    np.arange(len(self._records)), reps))
+            for idx in epoch:
                 # per-sample rng seeded deterministically from the stream
                 yield int(idx), int(rng.randint(2 ** 31))
 
@@ -241,15 +255,48 @@ def _prefetch_iter(it: Iterator, depth: int) -> Iterator:
         yield item
 
 
+def repeat_factors_from_category_frequency(records: List[dict],
+                                           repeat_thresh: float) -> np.ndarray:
+    """Per-image repeat factor r(I) = max over categories in I of
+    max(1, sqrt(t / f(c))) (reference distributed_sampler.py:201-240;
+    the LVIS oversampling recipe)."""
+    freq: Dict[int, int] = {}
+    for r in records:
+        for c in {a["category_id"] for a in r.get("annotations", [])}:
+            freq[c] = freq.get(c, 0) + 1
+    n = len(records)
+    cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / (f / n)))
+               for c, f in freq.items()}
+    return np.asarray(
+        [max([cat_rep[a["category_id"]]
+              for a in r.get("annotations", [])] or [1.0])
+         for r in records])
+
+
 def build_detection_train_loader(cfg, mapper) -> TrainLoader:
     records = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN, cfg.DATASETS.PROPOSAL_FILES_TRAIN
         if cfg.MODEL.LOAD_PROPOSALS else (),
         filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS)
+    sampler = cfg.DATALOADER.SAMPLER_TRAIN
+    if sampler == "RepeatFactorTrainingSampler":
+        rf = repeat_factors_from_category_frequency(
+            records, cfg.DATALOADER.REPEAT_THRESHOLD)
+    elif sampler == "TrainingSampler":
+        rf = None
+    else:
+        raise ValueError(f"Unknown DATALOADER.SAMPLER_TRAIN: {sampler}")
+    if not cfg.DATALOADER.ASPECT_RATIO_GROUPING:
+        # static-shape batching always groups by size bucket; there is no
+        # dynamic-shape alternative on TPU
+        logger.warning("DATALOADER.ASPECT_RATIO_GROUPING=False has no "
+                       "effect: batches are always bucket-grouped (static "
+                       "shapes).")
     return TrainLoader(records, mapper, cfg.SOLVER.IMS_PER_BATCH,
                        seed=max(cfg.SEED, 0),
                        prefetch=cfg.DATALOADER.PREFETCH,
-                       num_workers=cfg.DATALOADER.NUM_WORKERS)
+                       num_workers=cfg.DATALOADER.NUM_WORKERS,
+                       repeat_factors=rf)
 
 
 def build_detection_test_loader(cfg, dataset_name: str, mapper,

@@ -29,6 +29,9 @@ from drn_wsod_tpu.config import add_wsl_config, get_cfg
 from drn_wsod_tpu.data import (DatasetCatalog, DatasetMapper, MetadataCatalog,
                                build_detection_test_loader,
                                build_detection_train_loader)
+from drn_wsod_tpu.data.datasets.builtin_web import register_all_web
+from drn_wsod_tpu.data.datasets.coco import register_all_coco
+from drn_wsod_tpu.data.datasets.lvis import register_all_lvis
 from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
 from drn_wsod_tpu.engine import (CommonMetricPrinter, EvalHook, IterationTimer,
                                  JSONWriter, PeriodicCheckpointer,
@@ -61,6 +64,8 @@ def setup(args):
 
 
 def build_evaluator(cfg, dataset_name, records):
+    """Per-dataset evaluator dispatch (reference
+    projects/WSL/tools/train_net.py:119-167)."""
     meta = MetadataCatalog.get(dataset_name)
     gt_by_image = {str(r["image_id"]): r.get("annotations", [])
                    for r in records}
@@ -68,6 +73,21 @@ def build_evaluator(cfg, dataset_name, records):
     if etype == "pascal_voc":
         return PascalVOCDetectionEvaluator(
             meta.thing_classes, gt_by_image, year=meta.get("year", 2007))
+    if etype == "coco":
+        from drn_wsod_tpu.evaluation.coco_eval import COCODetectionEvaluator
+
+        return COCODetectionEvaluator(meta.thing_classes, gt_by_image)
+    if etype == "lvis":
+        from drn_wsod_tpu.evaluation.lvis_eval import LVISDetectionEvaluator
+
+        info = {str(r["image_id"]): {
+            "neg_category_ids": r.get("neg_category_ids", []),
+            "not_exhaustive_category_ids":
+                r.get("not_exhaustive_category_ids", [])}
+            for r in records}
+        return LVISDetectionEvaluator(
+            meta.thing_classes, gt_by_image, info,
+            frequencies=meta.get("thing_frequencies"))
     raise NotImplementedError(f"evaluator type {etype}")
 
 
@@ -187,7 +207,11 @@ def do_train(cfg, model, resume: bool = False):
 
 def main(args):
     cfg = setup(args)
-    register_all_pascal_voc(os.environ.get("DETECTRON2_DATASETS", "datasets"))
+    data_root = os.environ.get("DETECTRON2_DATASETS", "datasets")
+    register_all_pascal_voc(data_root)
+    register_all_coco(data_root)
+    register_all_lvis(data_root)
+    register_all_web(data_root)
 
     model = build_model(cfg)
     if args.eval_only:
