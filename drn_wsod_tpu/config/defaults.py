@@ -16,6 +16,9 @@ def get_cfg() -> CfgNode:
 
     _C.VERSION = 2
     _C.OUTPUT_DIR = "./output"
+    # period (iters) for training visualizations (pgt dumps / TB images);
+    # 0 disables (reference detectron2 _C.VIS_PERIOD)
+    _C.VIS_PERIOD = 0
     _C.SEED = -1
 
     # ------------------------------------------------------------------ model

@@ -68,6 +68,7 @@ class EventStorage:
         self._iter = start_iter
         self._latest: Dict[str, tuple] = {}
         self._smoothing_hints: Dict[str, bool] = {}
+        self._images: list = []
 
     @property
     def iter(self) -> int:
@@ -82,6 +83,17 @@ class EventStorage:
     def put_scalars(self, *, smoothing_hint: bool = True, **kwargs):
         for k, v in kwargs.items():
             self.put_scalar(k, v, smoothing_hint=smoothing_hint)
+
+    def put_image(self, name: str, img):
+        """Attach an (H, W, 3) uint8 RGB image to the current iteration
+        (reference events.py:294-303); drained by TensorboardWriter."""
+        self._images.append((name, img, self._iter))
+
+    def images(self):
+        return list(self._images)
+
+    def clear_images(self):
+        self._images = []
 
     def history(self, name: str) -> HistoryBuffer:
         return self._history[name]
@@ -137,6 +149,30 @@ class JSONWriter(EventWriter):
 
     def close(self):
         self._file.close()
+
+
+class TensorboardWriter(EventWriter):
+    """TensorBoard event files via torch.utils.tensorboard (the torch CPU
+    build in this image ships the protobuf summary writer; reference
+    TensorboardXWriter, events.py:109-152). Writes smoothed scalars and any
+    put_image payloads, then clears them."""
+
+    def __init__(self, log_dir: str, window: int = 20):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._writer = SummaryWriter(log_dir)
+        self._window = window
+
+    def write(self, storage: EventStorage):
+        for k, (v, it) in storage.latest_with_smoothing_hint(
+                self._window).items():
+            self._writer.add_scalar(k, v, it)
+        for name, img, it in storage.images():
+            self._writer.add_image(name, img, it, dataformats="HWC")
+        storage.clear_images()
+
+    def close(self):
+        self._writer.close()
 
 
 class CommonMetricPrinter(EventWriter):

@@ -158,3 +158,66 @@ class EvalHook(HookBase):
     def after_train(self):
         if self.trainer.iter >= self.trainer.max_iter - 1:
             self._do_eval()
+
+
+class PGTVisualization(HookBase):
+    """Periodically dump the pseudo-GT boxes OICR mines on the current
+    training batch (reference _vis_pgt + visualize_training,
+    wsl/modeling/roi_heads/roi_heads_oicr.py:569-625,
+    wsl/modeling/meta_arch/rcnn.py:103-136): WSOD's characteristic failure
+    mode is mined boxes drifting to context, so seeing them is a debugging
+    capability, not a luxury.
+
+    Runs a separate jitted scores+mining pass on ``trainer.last_batch``
+    (mining inside the donated train step can't be fetched), saves PNGs to
+    OUTPUT_DIR/pgt_vis and put_image()s them for the TensorBoard writer.
+    """
+
+    def __init__(self, period: int, model, output_dir: str,
+                 class_names=None, max_images: int = 2):
+        import jax
+
+        from ..models.heads import oicr as oicr_lib
+        from ..models.heads.wsddn import image_probs
+
+        self._period = max(int(period), 1)
+        self._out = output_dir
+        self._names = class_names
+        self._max = max_images
+
+        @jax.jit
+        def mine(params, batch):
+            scores = model.apply(params, batch, method="proposal_scores")
+            ev = image_probs(scores)
+            pgt = jax.vmap(oicr_lib.mine_pgt)(
+                scores, batch.proposals, batch.proposal_mask, batch.labels,
+                ev)
+            return pgt.boxes, pgt.valid
+
+        self._mine = mine
+
+    def after_step(self):
+        it = self.trainer.iter
+        if (it + 1) % self._period or self.trainer.last_batch is None:
+            return
+        import os
+
+        import jax
+        import numpy as np
+
+        from ..utils.visualizer import save_pgt_visualization
+
+        batch = self.trainer.last_batch
+        boxes, valid = jax.device_get(
+            self._mine(self.trainer.state.params, batch))
+        imgs = np.asarray(jax.device_get(batch.image))
+        storage = self.trainer.storage
+        for i in range(min(imgs.shape[0], self._max)):
+            img = np.clip(imgs[i], 0, 255).astype(np.uint8)
+            save_pgt_visualization(
+                img, boxes[i], valid[i], self._names,
+                os.path.join(self._out, "pgt_vis"),
+                prefix=f"iter{it + 1:07d}_im{i}", suffix="")
+            if storage is not None:
+                rgb = img[:, :, ::-1]  # pipeline is BGR
+                storage.put_image(f"pgt/im{i}", rgb)

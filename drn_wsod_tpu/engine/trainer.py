@@ -156,6 +156,7 @@ class Trainer:
         self.start_iter = 0
         self.max_iter = 0
         self.storage: Optional[EventStorage] = None
+        self.last_batch = None
         self._pending_metrics = None
         self._pending_data_time = 0.0
 
@@ -190,6 +191,7 @@ class Trainer:
         data_time = time.perf_counter() - t0
 
         self.state, metrics = self._step_fn(self.state, batch, self._rng)
+        self.last_batch = batch   # for visualization hooks (pgt dumps)
         self._pending_metrics = metrics
         self._pending_data_time = data_time
 

@@ -55,8 +55,10 @@ SOLVER:
   CHECKPOINT_PERIOD: 2
 PARALLEL:
   MESH_SHAPE: [2]
+VIS_PERIOD: 1
 TEST:
   EVAL_PERIOD: 0
+  EXPECTED_RESULTS: [["bbox", "AP50", 50.0, 100.0]]
   AUG:
     ENABLED: False
 DATALOADER:
@@ -76,4 +78,11 @@ OUTPUT_DIR: "{out_dir}"
     assert os.path.exists(out_dir / "metrics.json")
     assert os.path.exists(out_dir / "config.yaml")
     # eval ran on both test and (EVAL_TRAIN) train: AP in the log
-    assert "Results on voc_2007_test" in r.stdout + r.stderr
+    log = r.stdout + r.stderr
+    assert "Results on voc_2007_test" in log
+    # observability: pgt visualization dumps + tensorboard event files
+    import glob
+    assert glob.glob(str(out_dir / "pgt_vis" / "*.png")), "no pgt dumps"
+    assert glob.glob(str(out_dir / "tb" / "events.out.tfevents*")), "no TB"
+    # accuracy-assert pattern (TEST.EXPECTED_RESULTS -> verify_results)
+    assert "verify_results: bbox/AP50" in log

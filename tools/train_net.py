@@ -34,6 +34,7 @@ from drn_wsod_tpu.data.datasets.coco import register_all_coco
 from drn_wsod_tpu.data.datasets.lvis import register_all_lvis
 from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
 from drn_wsod_tpu.engine import (CommonMetricPrinter, EvalHook, IterationTimer,
+                                 PGTVisualization, TensorboardWriter,
                                  JSONWriter, PeriodicCheckpointer,
                                  PeriodicWriter, Trainer, create_train_state)
 from drn_wsod_tpu.engine.defaults import (default_argument_parser,
@@ -192,10 +193,20 @@ def do_train(cfg, model, resume: bool = False):
     if multihost.is_main_process():
         # rank-0-only writers/checkpoints (reference defaults.py:321-366)
         writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
-                   JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
+                   JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+                   TensorboardWriter(os.path.join(cfg.OUTPUT_DIR, "tb"))]
         hooks += [PeriodicWriter(writers),
                   PeriodicCheckpointer(checkpointer,
                                        cfg.SOLVER.CHECKPOINT_PERIOD)]
+        vis_period = cfg.VIS_PERIOD or (
+            cfg.SOLVER.CHECKPOINT_PERIOD if cfg.WSL.VIS_TEST else 0)
+        if vis_period > 0 and cfg.MODEL.ROI_HEADS.NAME in (
+                "OICRROIHeads", "PCLROIHeads", "WSDDNROIHeads"):
+            meta = (MetadataCatalog.get(cfg.DATASETS.TRAIN[0])
+                    if cfg.DATASETS.TRAIN else None)
+            hooks.append(PGTVisualization(
+                vis_period, model, cfg.OUTPUT_DIR,
+                class_names=meta.get("thing_classes") if meta else None))
     if cfg.TEST.EVAL_PERIOD > 0:
         hooks.append(EvalHook(
             cfg.TEST.EVAL_PERIOD,
