@@ -7,7 +7,7 @@ channel tile of the feature map resident in VMEM and walks the RoIs against
 it, so HBM traffic collapses to (read map once per channel tile) + (write
 pooled output once).
 
-Exact bin max, decomposed per axis:
+Exact bin max in exactly TWO samples per bin:
 
   * y axis — sparse-table RMQ: any row span [hs, he) is the union of two
     overlapping power-of-two windows, so the input is a stack of Ky y-maxed
@@ -17,20 +17,25 @@ Exact bin max, decomposed per axis:
     block still fits VMEM at a wide channel tile (a full 2-D (ky, kx) table
     stack would need 16 levels and forces CT=128, measured 11x slower:
     per-sample scalar overhead stops amortizing below (8, 512) tiles).
-  * x axis — additive range masks: the column span [ws, we) covers at most 3
-    aligned 8-lane windows; a precomputed 64-entry table M[a*8+b-1] is zero
-    on lanes [a, b) and a huge negative elsewhere, so window + M[mi] poisons
-    exactly the out-of-span lanes and the bin max accumulates whole (8, CT)
-    tiles. Windows beyond the span duplicate the last one (max(a, a) = a).
+  * x axis — ONE wide aligned load + additive range mask: the whole span
+    [ws, we) (< max_span cells, misaligned by ws%8 <= 7) fits inside a
+    single 8-aligned (LX, CT) window with LX = 8*ceil((7 + max_span)/8)
+    sublanes (24 for 704px DC5 maps). A precomputed mask table
+    M[a*(LX-7) + span-1] is 0 on sublanes [a, a+span) and a huge negative
+    elsewhere, so ``window + M[mi]`` poisons exactly the out-of-span lanes.
 
-Cost: 2 x 3 = 6 vector iterations per bin (vs 4 for the old 2x2 sampled
-approximation, which had ~45% mean error vs exact on VOC-like large boxes).
+The kernel is scalar-issue-bound per sample (~18 cycles of SMEM loads +
+dynamic addressing vs ~3-12 cycles of vector work), so ONE wide load beats
+three narrow ones (the previous <=3x 8-lane-window formulation measured
+47 ms; per-bin pl.when predication measured 2x SLOWER than dense — branches
+break the pipeline; a per-ROI small-roi fast path helped only distributions
+dominated by sub-57px boxes).
 
 Mosaic alignment: dynamic indexing is only unconstrained on untiled
 (leading) dims, so the kernel indexes (ky*H + y) dynamically (dim 0) and
-loads 8-aligned windows along W (the sublane dim, pre-padded to a multiple
-of 8); bins are statically unrolled so output stores use constant sublane
-indices.
+loads 8-aligned (LX, CT) windows along W (the sublane dim, padded so every
+window is in bounds); bins are statically unrolled so output stores use
+constant sublane indices.
 
 Sample coords (integer cell bins, torchvision quantized semantics, off-map
 bins pool to zero) are precomputed by XLA with the exact integer arithmetic
@@ -49,25 +54,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import _max_span, _num_levels, _rmq_bounds, build_max_tables
+from .roi_align import (_max_span, _num_levels, _rmq_bounds,
+                        build_y_tables)
 
 
-def _num_xwindows(W: int, R: int) -> int:
-    """Max aligned 8-windows an (unaligned) x-span can touch on a W-cell
-    map: an s-cell span covers ceil((s + 7 - 1) / 8) + 1 windows worst case
-    (3 for DC5 maps up to ~750px inputs, 4 up to the 1216px train scale)."""
-    return (_max_span(W, R) + 6) // 8 + 1
+LX = 16  # native bf16 sublane tile: all x-loads are (16, CT)
 
 
-def _kernel_positions(boxes, spatial_scale, H, W, R, XW):
-    """Per-bin gather coords for the y-RMQ + x-range-mask kernel.
+def _load_extent(W: int, R: int) -> int:
+    """Number of (16, CT) x-loads needed in the worst case: spans up to
+    max_span plus <=7 misalignment."""
+    return -(-(7 + _max_span(W, R)) // LX)
+
+
+def _kernel_positions(boxes, spatial_scale, H, W, R):
+    """Per-bin gather coords for the y-RMQ + masked-16-window-x kernel.
 
     Returns:
       ys: (P, R*R*2) int32 — stacked-table row ``ky*H + y`` for the two
         covering y-windows.
-      x8: (P, R*R*XW) int32 — 8-aligned window starts covering [ws, we).
-      mi: (P, R*R*XW) int32 — range-mask index a*8 + (b-1) for lanes [a, b)
-        of each window.
+      x8: (P, R*R) int32 — 8-aligned start of the first (16, CT) x window.
+      mi: (P, R*R*2) int32 — range-mask indices a*16 + (b-1) (lanes [a, b)
+        of a 16-window) for the first and second window; the second is the
+        all-poison entry when the span fits one window.
+      tier: (P, 1) int32 — 0: every bin is one y-row x one 16-window;
+        1: two y-rows x one window; 2: two y-rows x two windows.
       bin_scale_mask: (P, R, R) f32 — 1 on on-map bins, 0 on empty bins.
     """
     Ky = _num_levels(H, R)
@@ -81,76 +92,102 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, XW):
     ys = jnp.stack([jnp.clip(ylo, 0, H - 1) + ly * H,
                     jnp.clip(y2p, 0, H - 1) + ly * H], -1)    # (P, R, 2)
 
-    # x bins: exact integer edges clamped to the map (same as _rmq_bounds
-    # but we need raw [ws, we), not the RMQ pair)
+    # x bins: exact integer edges clamped to the map (same arithmetic as
+    # _rmq_bounds but we need the raw [ws, we) span, not an RMQ pair)
     ph = jnp.arange(R, dtype=jnp.int32)
     ws = (ph[None, :] * roi_w[:, None]) // R + x1[:, None]
     we = -((-(ph[None, :] + 1) * roi_w[:, None]) // R) + x1[:, None]
     ws = jnp.clip(ws, 0, W)
     we = jnp.clip(we, 0, W)
     vx = we > ws
-    we_s = jnp.maximum(we, ws + 1)                            # safe span >= 1
-    last8 = ((we_s - 1) // 8) * 8
-    j = jnp.arange(XW, dtype=jnp.int32)
-    base = jnp.minimum(((ws // 8) * 8)[..., None] + 8 * j[None, None, :],
-                       last8[..., None])                      # (P, R, XW)
-    a = jnp.clip(ws[..., None] - base, 0, 7)
-    b = jnp.clip(we_s[..., None] - base, 1, 8)
-    mi = a * 8 + (b - 1)
+    # mask indices: entry a*16 + (b-1) is zero on lanes [a, b) of a
+    # 16-window; the extra entry 8*16 is all-poison (window beyond the span)
+    NW = max(_load_extent(W, R), 2)
+    span = jnp.clip(we - ws, 1, NW * LX - 7)
+    x8 = jnp.clip((ws // 8) * 8, 0, W - 1)   # ws == W only on empty bins
+    a = jnp.clip(ws - x8, 0, 7)
+    end = a + span
+    ALL_POISON = 8 * LX                              # extra table entry
+    js = jnp.arange(NW, dtype=jnp.int32)
+    a_j = jnp.clip(a[..., None] - js * LX, 0, 7)     # a for j=0, else 0
+    b_j = jnp.clip(end[..., None] - js * LX, 1, LX)
+    has_j = end[..., None] > js * LX
+    mi = jnp.where(has_j, a_j * LX + (b_j - 1), ALL_POISON)  # (P, R, NW)
 
     P = boxes.shape[0]
+    # per-roi tier: 0 = degenerate y pairs + single window everywhere,
+    # 1 = two y rows + single window, 2 = full (multi-window somewhere)
+    y_deg = (ys[..., 1] == ys[..., 0]).all(axis=-1)          # (P,)
+    one_w = jnp.logical_not(has_j[..., 1:].any((-2, -1)))    # (P,)
+    tier = jnp.where(one_w & y_deg, 0, jnp.where(one_w, 1, 2))
+    tier = tier.astype(jnp.int32)[:, None]
+
     valid = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
     ys_b = jnp.broadcast_to(ys[:, :, None, :], (P, R, R, 2))
-    x8_b = jnp.broadcast_to(base[:, None, :, :], (P, R, R, XW))
-    mi_b = jnp.broadcast_to(mi[:, None, :, :], (P, R, R, XW))
-    return (ys_b.reshape(P, R * R * 2), x8_b.reshape(P, R * R * XW),
-            mi_b.reshape(P, R * R * XW), valid)
+    x8_b = jnp.broadcast_to(x8[:, None, :], (P, R, R))
+    mi_b = jnp.broadcast_to(mi[:, None, :, :], (P, R, R, NW))
+    return (ys_b.reshape(P, R * R * 2), x8_b.reshape(P, R * R),
+            mi_b.reshape(P, R * R * NW), tier, valid)
 
 
-def _make_kernel(RB, R, CT, XW, neg_val: float, dtype, unroll_rois=False):
-    """Additive range-mask formulation.
+def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False):
+    """Masked-16-window formulation with per-ROI tiers (module docstring)."""
 
-    Reducing lanes [a, b) out of an 8-lane window used to cost per-lane
-    compare/select chains. Instead we precompute an additive table M
-    (64 x (8, CT)): M[a*8+b-1] is 0 on sublanes [a, b) and a huge negative
-    elsewhere, so ``window + M[mi]`` poisons exactly the out-of-span lanes;
-    the bin max accumulates whole (8, CT) tiles with ONE deferred sublane
-    reduce per bin. Exact: adding 0.0 is exact, and poisoned lanes can never
-    win the max (features are finite, poison is finfo.min/2).
-    """
-
-    def kernel(ys_ref, x8_ref, mi_ref, scale_ref, feat_ref, out_ref,
-               tab_ref):
+    def kernel(ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, feat_ref,
+               out_ref, tab_ref):
         # Fill the mask table once (scratch persists across grid steps).
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
             # Build in f32 (i1 masks from i32 compares have (8, 128) tiling,
             # which Mosaic cannot relayout into a bf16 (16, 128) select).
             sub = jax.lax.broadcasted_iota(
-                jnp.int32, (8, CT), 0).astype(jnp.float32)
+                jnp.int32, (LX, CT), 0).astype(jnp.float32)
             for a in range(8):
-                for b in range(a + 1, 9):
-                    tab_ref[a * 8 + (b - 1)] = jnp.where(
+                for b in range(a + 1, LX + 1):
+                    tab_ref[a * LX + (b - 1)] = jnp.where(
                         (sub >= float(a)) & (sub < float(b)),
                         jnp.zeros((), jnp.float32),
                         jnp.asarray(neg_val, jnp.float32)).astype(dtype)
+            tab_ref[8 * LX] = jnp.full(
+                (LX, CT), jnp.asarray(neg_val, jnp.float32)).astype(dtype)
 
         def one_roi(i):
-            for bin_ in range(R * R):        # static: aligned output stores
-                acc = None
-                for sy in range(2):
-                    y = ys_ref[i, 2 * bin_ + sy]    # ky*H + row (RMQ window)
-                    for j in range(XW):
-                        x8 = pl.multiple_of(x8_ref[i, XW * bin_ + j], 8)
-                        mi = mi_ref[i, XW * bin_ + j]
-                        t = (feat_ref[y, pl.ds(x8, 8), :]     # (8, CT)
-                             + tab_ref[mi])
-                        acc = t if acc is None else jnp.maximum(acc, t)
-                m = jnp.max(acc, axis=0)                      # (CT,)
+            def win(b, sy, j):
+                y = ys_ref[i, 2 * b + sy]    # ky*H + row (RMQ window pair)
+                x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
+                return (feat_ref[y, pl.ds(x8, LX), :]
+                        + tab_ref[mi_ref[i, NW * b + j]])
+
+            def emit(b, acc):
                 # fused epilogue: per-bin scale = (objectness+1) * validity
                 # * bin-on-map (0 zeroes off-map/empty bins, torchvision
-                # semantics)
-                out_ref[i, bin_, :] = m * scale_ref[i, bin_].astype(dtype)
+                # semantics). Applying this as an XLA pass instead measured
+                # NET SLOWER (unfused 1.6GB elementwise pass).
+                out_ref[i, b, :] = (jnp.max(acc, axis=0)
+                                    * scale_ref[i, b].astype(dtype))
+
+            # one branch per ROI (per-bin branches measured 2x slower)
+            tier = tier_ref[i, 0]
+
+            @pl.when(tier == 0)
+            def _():
+                for b in range(R * R):       # 1 sample/bin
+                    emit(b, win(b, 0, 0))
+
+            @pl.when(tier == 1)
+            def _():
+                for b in range(R * R):       # 2 samples/bin
+                    emit(b, jnp.maximum(win(b, 0, 0), win(b, 1, 0)))
+
+            @pl.when(tier == 2)
+            def _():
+                for b in range(R * R):       # 2*NW samples/bin (rare rois)
+                    acc = None
+                    for sy in range(2):
+                        for j in range(NW):
+                            t = win(b, sy, j)
+                            acc = t if acc is None else jnp.maximum(acc, t)
+                    emit(b, acc)
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -189,32 +226,33 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         CT //= 2
 
     Ky = _num_levels(H, R)
-    XW = _num_xwindows(W, R)
-    ys, x8, mi, valid = _kernel_positions(boxes, spatial_scale, H, W, R, XW)
+    NW = max(_load_extent(W, R), 2)
+    ys, x8, mi, tier, valid = _kernel_positions(boxes, spatial_scale, H, W, R)
     if roi_scale is None:
         roi_scale = jnp.ones((P,), jnp.float32)
     # per-bin scale: roi scale where the bin intersects the map, 0 otherwise
     bin_scale = (roi_scale.astype(jnp.float32)[:, None, None]
                  * valid).reshape(P, R * R)
 
-    tables = build_max_tables(features, Ky, 1)      # (Ky, H, W, C)
-    tables = tables.reshape(Ky * H, W, C)
-    # pad W (sublane dim) to a multiple of 8 for aligned window loads
-    W8 = -(-W // 8) * 8
-    if W8 != W:
-        tables = jnp.pad(tables, ((0, 0), (0, W8 - W), (0, 0)))
+    # pad W (sublane dim) so every aligned (LX,) window is in bounds:
+    # max start is (W-1)//8*8 + (NW-1)*LX
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    tables = build_y_tables(features, Ky, pad_w=W8 - W)  # (Ky*H, W8, C)
 
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (C // CT, P // RB)
+    n_masks = 8 * LX + 1                       # + all-poison entry
     out = pl.pallas_call(
-        _make_kernel(RB, R, CT, XW, neg_val, features.dtype),
+        _make_kernel(RB, R, CT, NW, neg_val, features.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((RB, R * R * 2), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R * R * XW), lambda c, r: (r, 0),
+            pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R * R * XW), lambda c, r: (r, 0),
+            pl.BlockSpec((RB, R * R * NW), lambda c, r: (r, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, 1), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
                          memory_space=pltpu.SMEM),
@@ -224,11 +262,11 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
-        scratch_shapes=[pltpu.VMEM((64, 8, CT), features.dtype)],
+        scratch_shapes=[pltpu.VMEM((n_masks, LX, CT), features.dtype)],
         # the stacked-table block (Ky*H, W8, CT) is far over the default 16M
         # scoped-vmem limit; v5e has 128M VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ys, x8, mi, bin_scale, tables)
+    )(ys, x8, mi, tier, bin_scale, tables)
     return out.reshape(P, R, R, C)
