@@ -91,10 +91,14 @@ def _maxpool2(x, stride):
 
 
 class BasicBlock(nn.Module):
-    """Two 3x3 convs; optional trailing max-pool (resnet_ws.py:32-112)."""
+    """Two 3x3 convs; optional trailing max-pool (resnet_ws.py:32-112).
+    ``stride`` > 1 is the PLAIN-ResNet downsampling path (stride on conv1 +
+    shortcut, detectron2/modeling/backbone/resnet.py); the WS variant keeps
+    stride 1 and pools instead."""
 
     out_channels: int
     dilation: int = 1
+    stride: int = 1
     has_pool: bool = False
     pool_stride: int = 1
     norm: str = "FrozenBN"
@@ -103,7 +107,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
-        out = _conv(x, self.out_channels, 3, dilation=self.dilation,
+        out = _conv(x, self.out_channels, 3, stride=self.stride,
+                    dilation=self.dilation,
                     name="conv1", dtype=self.dtype)
         out = _apply_norm(_norm_layer(self.norm, self.out_channels,
                                       "conv1_norm"), out, train)
@@ -113,8 +118,9 @@ class BasicBlock(nn.Module):
         out = _apply_norm(_norm_layer(self.norm, self.out_channels,
                                       "conv2_norm"), out, train)
 
-        if in_channels != self.out_channels:
-            sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
+        if in_channels != self.out_channels or self.stride > 1:
+            sc = _conv(x, self.out_channels, 1, stride=self.stride,
+                       name="shortcut", dtype=self.dtype)
             sc = _apply_norm(_norm_layer(self.norm, self.out_channels,
                                          "shortcut_norm"), sc, train)
         else:
@@ -133,6 +139,8 @@ class BottleneckBlock(nn.Module):
     out_channels: int
     bottleneck_channels: int
     dilation: int = 1
+    stride: int = 1
+    stride_in_1x1: bool = True     # Caffe2-era placement (d2 default)
     num_groups: int = 1
     has_pool: bool = False
     pool_stride: int = 1
@@ -142,7 +150,10 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
-        out = _conv(x, self.bottleneck_channels, 1, name="conv1", dtype=self.dtype)
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        out = _conv(x, self.bottleneck_channels, 1, stride=s1,
+                    name="conv1", dtype=self.dtype)
         out = _apply_norm(_norm_layer(self.norm, self.bottleneck_channels,
                                       "conv1_norm"), out, train)
         out = nn.relu(out)
@@ -150,7 +161,7 @@ class BottleneckBlock(nn.Module):
         out = nn.Conv(
             features=self.bottleneck_channels,
             kernel_size=(3, 3),
-            strides=(1, 1),
+            strides=(s3, s3),
             padding=[(self.dilation,) * 2] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             feature_group_count=self.num_groups,
@@ -166,8 +177,9 @@ class BottleneckBlock(nn.Module):
         out = _apply_norm(_norm_layer(self.norm, self.out_channels,
                                       "conv3_norm"), out, train)
 
-        if in_channels != self.out_channels:
-            sc = _conv(x, self.out_channels, 1, name="shortcut", dtype=self.dtype)
+        if in_channels != self.out_channels or self.stride > 1:
+            sc = _conv(x, self.out_channels, 1, stride=self.stride,
+                       name="shortcut", dtype=self.dtype)
             sc = _apply_norm(_norm_layer(self.norm, self.out_channels,
                                          "shortcut_norm"), sc, train)
         else:
@@ -429,6 +441,120 @@ def build_ws_resnet_backbone(cfg) -> Tuple[ResNetWS, Dict[str, int], Dict[str, i
         norm=r.NORM,
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=r.DEFORM_MODULATED,
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+    return model, model.feature_strides, model.feature_channels
+
+
+class PlainStem(nn.Module):
+    """Standard ResNet stem: 7x7/s2 conv + 3x3/s2 max-pool (reference
+    detectron2/modeling/backbone/resnet.py BasicStem). Output stride 4."""
+
+    out_channels: int = 64
+    norm: str = "FrozenBN"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (7, 7), strides=(2, 2),
+                    padding=[(3, 3)] * 2, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = _apply_norm(_norm_layer(self.norm, self.out_channels,
+                                    "conv1_norm"), x, train)
+        x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=[(1, 1)] * 2)
+
+
+class ResNetPlain(nn.Module):
+    """Standard strided ResNet (the reference wsddn_R_* configs use plain
+    detectron2 ResNets, resnet.py:643; contrast with the WS variant above
+    whose blocks are stride-free + trailing max-pools). DC5: res5 stride 1
+    with dilation 2."""
+
+    depth: int = 50
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    res5_dilation: int = 2
+    stride_in_1x1: bool = True
+    out_features: Sequence[str] = ("res5",)
+    norm: str = "FrozenBN"
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def feature_strides(self) -> Dict[str, int]:
+        strides, s = {}, 4
+        for i, stage in enumerate(("res2", "res3", "res4", "res5")):
+            if i > 0 and not (stage == "res5" and self.res5_dilation == 2):
+                s *= 2
+            strides[stage] = s
+        return strides
+
+    @property
+    def feature_channels(self) -> Dict[str, int]:
+        basic = self.depth in (18, 34)
+        out = self.res2_out_channels
+        chans = {}
+        for stage in ("res2", "res3", "res4", "res5"):
+            chans[stage] = out
+            out *= 2
+        return chans
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        basic = self.depth in (18, 34)
+        if basic:
+            assert self.res2_out_channels == 64, "R18/R34 need RES2_OUT_CHANNELS=64"
+        num_blocks = NUM_BLOCKS_PER_STAGE[self.depth]
+        bc = self.num_groups * self.width_per_group
+
+        x = PlainStem(self.stem_out_channels, norm=self.norm,
+                      dtype=self.dtype, name="stem")(x, train=train)
+        outputs = {}
+        out_channels = self.res2_out_channels
+        max_stage = max(int(f[-1]) for f in self.out_features)
+        for idx, stage_idx in enumerate(range(2, max_stage + 1)):
+            stage = f"res{stage_idx}"
+            dilation = (self.res5_dilation
+                        if stage_idx == 5 else 1)
+            first_stride = (1 if idx == 0 or
+                            (stage_idx == 5 and dilation == 2) else 2)
+            for b in range(num_blocks[idx]):
+                stride = first_stride if b == 0 else 1
+                kwargs = dict(out_channels=out_channels, dilation=dilation,
+                              stride=stride, norm=self.norm,
+                              dtype=self.dtype, name=f"{stage}_{b}")
+                if basic:
+                    x = BasicBlock(**kwargs)(x, train=train)
+                else:
+                    x = BottleneckBlock(
+                        bottleneck_channels=bc,
+                        stride_in_1x1=self.stride_in_1x1,
+                        num_groups=self.num_groups,
+                        **kwargs)(x, train=train)
+            if stage in self.out_features:
+                outputs[stage] = x
+            out_channels *= 2
+            bc *= 2
+        return outputs
+
+
+def build_resnet_backbone(cfg) -> Tuple[ResNetPlain, Dict[str, int], Dict[str, int]]:
+    """Plain (strided) ResNet builder — the reference's
+    detectron2/modeling/backbone/resnet.py:643 ``build_resnet_backbone``."""
+    r = cfg.MODEL.RESNETS
+    model = ResNetPlain(
+        depth=r.DEPTH,
+        num_groups=r.NUM_GROUPS,
+        width_per_group=r.WIDTH_PER_GROUP,
+        stem_out_channels=r.STEM_OUT_CHANNELS,
+        res2_out_channels=r.RES2_OUT_CHANNELS,
+        res5_dilation=r.RES5_DILATION,
+        stride_in_1x1=r.STRIDE_IN_1X1,
+        out_features=tuple(r.OUT_FEATURES),
+        norm=r.NORM,
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
     )
     return model, model.feature_strides, model.feature_channels

@@ -12,7 +12,8 @@ from typing import Callable, Dict
 import jax.numpy as jnp
 
 from ..config import CfgNode
-from .backbones import build_vgg_backbone, build_ws_resnet_backbone
+from .backbones import (build_resnet_backbone, build_vgg_backbone,
+                        build_ws_resnet_backbone)
 from .backbones.fpn import build_resnet_fpn_backbone
 from .meta_arch import GeneralizedRCNNWSL
 
@@ -46,6 +47,7 @@ class Registry:
 BACKBONE_REGISTRY = Registry("BACKBONE")
 META_ARCH_REGISTRY = Registry("META_ARCH")
 
+BACKBONE_REGISTRY.register("build_resnet_backbone")(build_resnet_backbone)
 BACKBONE_REGISTRY.register("build_ws_resnet_backbone")(build_ws_resnet_backbone)
 BACKBONE_REGISTRY.register("build_vgg_backbone")(build_vgg_backbone)
 BACKBONE_REGISTRY.register("build_resnet_fpn_backbone")(build_resnet_fpn_backbone)
@@ -55,12 +57,22 @@ _HEAD_TYPES = {
     "OICRROIHeads": "OICR",
     "PCLROIHeads": "PCL",
     "CSCROIHeads": "CSC",
+    # CSC-weighted image loss + OICR refinement branches (reference
+    # csc_oicr_* configs, wsl/modeling/roi_heads/roi_heads_csc.py)
+    "CSCOICRROIHeads": "OICR",
     "WSJDSROIHeads": "CSC",   # CSC machinery + semantic seg branch
     # supervised heads (pseudo-GT retraining): both d2 names map to the same
     # fixed-shape FastRCNN path here
     "StandardROIHeads": "FastRCNN",
     "Res5ROIHeads": "FastRCNN",
 }
+
+
+# heads whose training step computes CPG maps by backprop-to-image: the
+# trainer selects the CSC step for these, and the pooler must stay
+# differentiable (Pallas kernel is forward-only)
+CSC_HEAD_NAMES = frozenset(
+    {"CSCROIHeads", "CSCOICRROIHeads", "WSJDSROIHeads"})
 
 
 @META_ARCH_REGISTRY.register("GeneralizedRCNNWSL")
@@ -99,7 +111,7 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         # the Pallas kernel is forward-only — use the differentiable gather
         # formulation there.
         use_pallas_pooler=(cfg.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER
-                           and _HEAD_TYPES[head_name] != "CSC"),
+                           and head_name not in CSC_HEAD_NAMES),
         dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
         dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
         mean_loss=cfg.WSL.MEAN_LOSS,

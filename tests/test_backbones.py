@@ -60,3 +60,57 @@ def test_frozen_bn_folding():
     out = np.asarray(bn.apply(params, x))
     want = (1.0 - 0.5) / np.sqrt(4.0 + 1e-5) * 2.0 + 1.0
     np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_plain_resnet_stride_and_channels():
+    """Strided standard ResNet (reference resnet.py:643) — DC5: stride 16,
+    res5 dilated."""
+    import jax
+    import jax.numpy as jnp
+
+    from drn_wsod_tpu.config import get_cfg
+    from drn_wsod_tpu.models.backbones import build_resnet_backbone
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.DTYPE = "float32"
+    bb, strides, chans = build_resnet_backbone(cfg)
+    assert strides["res5"] == 16 and chans["res5"] == 512
+    x = jnp.zeros((1, 64, 64, 3))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    out = bb.apply(v, x)
+    assert out["res5"].shape == (1, 4, 4, 512)
+    # param names follow the d2 layout for checkpoint import
+    p = v["params"]
+    assert "conv1" in p["stem"] and "conv1_norm" in p["stem"]
+    assert "shortcut" in p["res3_0"]
+
+
+def test_csc_oicr_head_builds_and_trains():
+    """CSCOICRROIHeads: CSC image loss + OICR refinement branches
+    (reference csc_oicr_* configs)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+    import numpy as np
+    from test_modeling import tiny_batch, tiny_cfg
+
+    from drn_wsod_tpu.engine import create_train_state, make_csc_train_step
+    from drn_wsod_tpu.models import build_model
+    from drn_wsod_tpu.solver import build_optimizer
+
+    cfg = tiny_cfg("CSCOICRROIHeads")
+    model = build_model(cfg)
+    assert model.refine_k == 3 and not model.use_pallas_pooler
+    batch = tiny_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, train=True)
+    tx = build_optimizer(cfg, variables)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_csc_train_step(model, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert "loss_cls_pos" in metrics and "loss_cls_r0" in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

@@ -160,7 +160,9 @@ def do_train(cfg, model, resume: bool = False):
     mesh = create_mesh(tuple(cfg.PARALLEL.MESH_AXES),
                        tuple(cfg.PARALLEL.MESH_SHAPE))
     plain_step = make_sharded_train_step(model, tx, mesh)
-    if cfg.MODEL.ROI_HEADS.NAME in ("CSCROIHeads", "WSJDSROIHeads"):
+    from drn_wsod_tpu.models.build import CSC_HEAD_NAMES
+
+    if cfg.MODEL.ROI_HEADS.NAME in CSC_HEAD_NAMES:
         # CSC/WSJDS: the CSC constraint (CPG backprop-to-image +
         # center-surround weights) is active while iter <= WSL.CSC_MAX_ITER,
         # after which the reference degenerates to neutral weights == the
