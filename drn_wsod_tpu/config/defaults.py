@@ -185,6 +185,11 @@ def get_cfg() -> CfgNode:
 
     # -------------------------------------------------------------------- test
     _C.TEST = CfgNode()
+    # PreciseBN (reference defaults.py TEST.PRECISE_BN): recompute true BN
+    # stats before eval; automatic for NORM="BN" backbones
+    _C.TEST.PRECISE_BN = CfgNode()
+    _C.TEST.PRECISE_BN.ENABLED = False
+    _C.TEST.PRECISE_BN.NUM_ITER = 200
     _C.TEST.EVAL_PERIOD = 0
     _C.TEST.EVAL_TRAIN = True
     _C.TEST.DETECTIONS_PER_IMAGE = 100

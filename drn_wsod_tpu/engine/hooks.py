@@ -221,3 +221,37 @@ class PGTVisualization(HookBase):
             if storage is not None:
                 rgb = img[:, :, ::-1]  # pipeline is BGR
                 storage.put_image(f"pgt/im{i}", rgb)
+
+
+class PreciseBNHook(HookBase):
+    """Recompute true BatchNorm statistics before each evaluation
+    (reference PreciseBN hook, detectron2/engine/hooks.py:357): replaces
+    the EMA running stats in the train state with arithmetic means over
+    ``num_iters`` training batches. No-op for FrozenBN models (no
+    batch_stats collection)."""
+
+    def __init__(self, period: int, apply_fn, data_iter_fn,
+                 num_iters: int = 200):
+        """apply_fn(variables, batch, mutable=['batch_stats']) — typically
+        a partial of model.apply running the forward in train mode;
+        data_iter_fn() returns a fresh batch iterator."""
+        self._period = max(int(period), 1)
+        self._apply_fn = apply_fn
+        self._data_iter_fn = data_iter_fn
+        self._num_iters = num_iters
+
+    def _run(self):
+        from .precise_bn import update_bn_stats
+
+        state = self.trainer.state
+        params = update_bn_stats(self._apply_fn, state.params,
+                                 self._data_iter_fn(), self._num_iters)
+        self.trainer.state = state.replace(params=params)
+
+    def after_step(self):
+        if (self.trainer.iter + 1) % self._period == 0 and \
+                self.trainer.iter != self.trainer.max_iter - 1:
+            self._run()
+
+    def after_train(self):
+        self._run()

@@ -11,6 +11,8 @@ from .boxes import (
     apply_deltas,
 )
 from .batch import WSODBatch, Detections
+from .keypoints import Keypoints
+from .masks import BitMasks, PolygonMasks, rasterize_polygons
 from .rotated_boxes import (nms_rotated, pairwise_iou_rotated,
                             rotated_to_corners)
 
@@ -19,4 +21,5 @@ __all__ = [
     "pairwise_iou", "pairwise_iou_wsl", "unique_boxes_mask",
     "get_deltas", "apply_deltas", "WSODBatch", "Detections",
     "nms_rotated", "pairwise_iou_rotated", "rotated_to_corners",
+    "BitMasks", "PolygonMasks", "rasterize_polygons", "Keypoints",
 ]

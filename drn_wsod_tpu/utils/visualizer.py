@@ -30,13 +30,57 @@ class Visualizer:
         self._colors = _class_colors(len(self._names) if self._names else 80)
 
     def draw_instance_predictions(self, boxes, scores, classes, valid=None,
-                                  score_thresh: float = 0.0):
+                                  score_thresh: float = 0.0, masks=None,
+                                  keypoints=None):
+        """Draw detections; optional (N, H, W) bool masks and (N, K, 3)
+        keypoints (reference Visualizer.draw_instance_predictions)."""
         for i in range(len(scores)):
             if valid is not None and not valid[i]:
                 continue
             if scores[i] < score_thresh:
                 continue
-            self.draw_box(boxes[i], int(classes[i]), float(scores[i]))
+            cid = int(classes[i])
+            self.draw_box(boxes[i], cid, float(scores[i]))
+            if masks is not None:
+                self.draw_mask(masks[i], cid)
+            if keypoints is not None:
+                self.draw_keypoints(keypoints[i], cid)
+        return self
+
+    def draw_mask(self, mask, class_id: int = 0, alpha: float = 0.45):
+        """Alpha-blend a boolean (H, W) mask in the class color."""
+        color = self._colors[class_id % len(self._colors)]
+        base = np.asarray(self._img).astype(np.float32)
+        m = np.asarray(mask, bool)
+        over = np.asarray(color, np.float32)
+        base[m] = (1 - alpha) * base[m] + alpha * over
+        self._img = Image.fromarray(base.astype(np.uint8))
+        self._draw = ImageDraw.Draw(self._img)
+        return self
+
+    def draw_keypoints(self, kpts, class_id: int = 0, radius: int = 2):
+        """(K, 3) keypoints; visibility > 0 drawn as dots."""
+        color = self._colors[class_id % len(self._colors)]
+        for x, y, v in np.asarray(kpts):
+            if v > 0:
+                self._draw.ellipse([x - radius, y - radius,
+                                    x + radius, y + radius], fill=color)
+        return self
+
+    def draw_sem_seg(self, seg, alpha: float = 0.45, ignore: int = 255):
+        """(H, W) int class map alpha-blended with per-class colors
+        (reference Visualizer.draw_sem_seg)."""
+        seg = np.asarray(seg)
+        base = np.asarray(self._img).astype(np.float32)
+        for c in np.unique(seg):
+            if c == ignore:
+                continue
+            m = seg == c
+            over = np.asarray(self._colors[int(c) % len(self._colors)],
+                              np.float32)
+            base[m] = (1 - alpha) * base[m] + alpha * over
+        self._img = Image.fromarray(base.astype(np.uint8))
+        self._draw = ImageDraw.Draw(self._img)
         return self
 
     def draw_box(self, box, class_id: int = 0, score: Optional[float] = None):

@@ -34,7 +34,8 @@ from drn_wsod_tpu.data.datasets.coco import register_all_coco
 from drn_wsod_tpu.data.datasets.lvis import register_all_lvis
 from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
 from drn_wsod_tpu.engine import (CommonMetricPrinter, EvalHook, IterationTimer,
-                                 PGTVisualization, TensorboardWriter,
+                                 PGTVisualization, PreciseBNHook,
+                                 TensorboardWriter,
                                  JSONWriter, PeriodicCheckpointer,
                                  PeriodicWriter, Trainer, create_train_state)
 from drn_wsod_tpu.engine.defaults import (default_argument_parser,
@@ -200,6 +201,16 @@ def do_train(cfg, model, resume: bool = False):
         hooks += [PeriodicWriter(writers),
                   PeriodicCheckpointer(checkpointer,
                                        cfg.SOLVER.CHECKPOINT_PERIOD)]
+        if cfg.MODEL.RESNETS.NORM in ("BN", "SyncBN") or \
+                cfg.TEST.PRECISE_BN.ENABLED:
+            from functools import partial
+
+            hooks.append(PreciseBNHook(
+                cfg.TEST.EVAL_PERIOD or cfg.SOLVER.CHECKPOINT_PERIOD,
+                partial(model.apply, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(0)}),
+                lambda: iter(loader),
+                num_iters=cfg.TEST.PRECISE_BN.NUM_ITER))
         vis_period = cfg.VIS_PERIOD or (
             cfg.SOLVER.CHECKPOINT_PERIOD if cfg.WSL.VIS_TEST else 0)
         if vis_period > 0 and cfg.MODEL.ROI_HEADS.NAME in (
