@@ -163,8 +163,10 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False):
                 # * bin-on-map (0 zeroes off-map/empty bins, torchvision
                 # semantics). Applying this as an XLA pass instead measured
                 # NET SLOWER (unfused 1.6GB elementwise pass).
-                out_ref[i, b, :] = (jnp.max(acc, axis=0)
-                                    * scale_ref[i, b].astype(dtype))
+                # halve the cross-sublane reduce first: one (8, CT) max
+                # replaces a level of the 16-row shuffle tree
+                m = jnp.max(jnp.maximum(acc[:8], acc[8:]), axis=0)
+                out_ref[i, b, :] = m * scale_ref[i, b].astype(dtype)
 
             # one branch per ROI (per-bin branches measured 2x slower)
             tier = tier_ref[i, 0]
