@@ -104,6 +104,17 @@ def get_cfg() -> CfgNode:
     # required, e.g. CSC's backprop-to-image).
     _C.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER = True
 
+    # Cascade R-CNN (reference detectron2/modeling/roi_heads/cascade_rcnn.py
+    # + configs/Misc/cascade_*.yaml): per-stage box-transform weights and
+    # matcher IoU thresholds.
+    _C.MODEL.ROI_BOX_CASCADE_HEAD = CfgNode()
+    _C.MODEL.ROI_BOX_CASCADE_HEAD.BBOX_REG_WEIGHTS = (
+        (10.0, 10.0, 5.0, 5.0),
+        (20.0, 20.0, 10.0, 10.0),
+        (30.0, 30.0, 15.0, 15.0),
+    )
+    _C.MODEL.ROI_BOX_CASCADE_HEAD.IOUS = (0.5, 0.6, 0.7)
+
     # ------------------------------------------------------------------- wsl
     # Reference: projects/WSL/wsl/config/defaults.py:7-43
     _C.WSL = CfgNode()

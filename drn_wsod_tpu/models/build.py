@@ -65,6 +65,7 @@ _HEAD_TYPES = {
     # fixed-shape FastRCNN path here
     "StandardROIHeads": "FastRCNN",
     "Res5ROIHeads": "FastRCNN",
+    "CascadeROIHeads": "CascadeRCNN",
 }
 
 
@@ -88,7 +89,7 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
 
     refine_reg = tuple(cfg.WSL.REFINE_REG)
     refine_k = cfg.WSL.REFINE_NUM
-    if _HEAD_TYPES[head_name] in ("WSDDN", "CSC", "FastRCNN"):
+    if _HEAD_TYPES[head_name] in ("WSDDN", "CSC", "FastRCNN", "CascadeRCNN"):
         # Pure WSDDN / CSC heads carry no refinement branches (the reference
         # csc_oicr variant combines them; configure via OICRROIHeads there).
         refine_k = 0
@@ -118,6 +119,9 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         use_objectness=cfg.WSL.USE_OBN,
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        cascade_ious=tuple(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS),
+        cascade_reg_weights=tuple(
+            tuple(w) for w in cfg.MODEL.ROI_BOX_CASCADE_HEAD.BBOX_REG_WEIGHTS),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,

@@ -55,6 +55,13 @@ class GeneralizedRCNNWSL(nn.Module):
     use_objectness: bool = True
     cls_agnostic_bbox_reg: bool = False
     reg_weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0)
+    # Cascade R-CNN (head_type "CascadeRCNN"): per-stage matcher IoUs and
+    # box-transform weights (reference cascade_rcnn.py + the
+    # ROI_BOX_CASCADE_HEAD config node).
+    cascade_ious: Sequence[float] = (0.5, 0.6, 0.7)
+    cascade_reg_weights: Sequence[Sequence[float]] = (
+        (10.0, 10.0, 5.0, 5.0), (20.0, 20.0, 10.0, 10.0),
+        (30.0, 30.0, 15.0, 15.0))
     pixel_mean: Sequence[float] = (102.9801, 115.9465, 122.7717)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     freeze_backbone: bool = True
@@ -75,6 +82,22 @@ class GeneralizedRCNNWSL(nn.Module):
                 num_classes=self.num_classes,
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
                 dtype=self.dtype, name="box_predictor")
+        if self.head_type == "CascadeRCNN":
+            # per-stage box head + class-agnostic predictor (reference
+            # cascade_rcnn.py builds K heads; box head = 2xFC 1024)
+            n_stages = len(self.cascade_ious)
+            self.cascade_heads = [
+                fast_rcnn_lib.FastRCNNConvFCHead(
+                    fc_dims=(1024, 1024), dtype=self.dtype,
+                    name=f"cascade_head_{k}")
+                for k in range(n_stages)
+            ]
+            self.cascade_predictors = [
+                fast_rcnn_lib.FastRCNNOutputLayers(
+                    num_classes=self.num_classes, cls_agnostic_bbox_reg=True,
+                    dtype=self.dtype, name=f"cascade_predictor_{k}")
+                for k in range(n_stages)
+            ]
         if self.head_type in ("WSDDN", "OICR", "PCL", "CSC"):
             self.wsddn = wsddn_lib.WSDDNOutputLayers(
                 num_classes=self.num_classes, dtype=self.dtype,
@@ -220,6 +243,11 @@ class GeneralizedRCNNWSL(nn.Module):
             losses.update(seg_losses)
             return losses
 
+        if self.head_type == "CascadeRCNN":
+            losses = self._cascade_losses(feats, batch, train=train)
+            losses.update(seg_losses)
+            return losses
+
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=train)
@@ -294,6 +322,113 @@ class GeneralizedRCNNWSL(nn.Module):
         return {"loss_cls": jnp.mean(loss_cls),
                 "loss_box_reg": jnp.mean(loss_box)}
 
+    def _pool_raw(self, feats, boxes, mask, *, train: bool):
+        """Pool (B, S, 4) boxes to (B, S, r*r*C) WITHOUT the DAN neck —
+        cascade stages have their own per-stage box heads."""
+        scale = 1.0 / self.feature_stride
+        res = self.pooler_resolution
+
+        if self.pyramid_strides is not None:
+            from ..ops.poolers import multilevel_roi_pool
+
+            strides = dict(self.pyramid_strides)
+            names = [n for n, _ in self.pyramid_strides]
+
+            def pool_one(fmap_dict, bx):
+                return multilevel_roi_pool(
+                    fmap_dict, strides, bx, names, resolution=res,
+                    pooler_type=self.pooler_type,
+                    sampling_ratio=max(self.pooler_sampling_ratio, 1))
+        else:
+            def pool_one(fmap, bx):
+                if self.pooler_type == "ROIPool":
+                    return roi_pool(fmap, bx, scale, resolution=res)
+                aligned = self.pooler_type == "ROIAlignV2"
+                return roi_align(
+                    fmap, bx, scale, resolution=res,
+                    sampling_ratio=max(self.pooler_sampling_ratio, 1),
+                    aligned=aligned)
+
+        pooled = jax.vmap(pool_one)(feats, boxes)        # (B, S, r, r, C)
+        pooled = pooled * mask[..., None, None, None].astype(pooled.dtype)
+        B, S = pooled.shape[:2]
+        return pooled.reshape(B, S, -1)
+
+    def _cascade_stage(self, k, feats, boxes, mask, *, train: bool):
+        """Run stage k on (B, S, 4) boxes -> (cls_logits, deltas, new_boxes).
+        new_boxes are the gradient-detached regressed boxes for stage k+1
+        (reference cascade_rcnn.py:_create_proposals_from_boxes)."""
+        B, S = boxes.shape[:2]
+        pooled = self._pool_raw(feats, boxes, mask, train=train)
+        h = self.cascade_heads[k](pooled.reshape(B * S, -1))
+        cls_logits, deltas = self.cascade_predictors[k](h)
+        cls_logits = cls_logits.reshape(B, S, -1)
+        deltas = deltas.reshape(B, S, 4)
+        new_boxes = box_ops.apply_deltas(
+            jax.lax.stop_gradient(deltas), boxes,
+            tuple(self.cascade_reg_weights[k]))
+        return cls_logits, deltas, new_boxes
+
+    def _cascade_losses(self, feats, batch, *, train: bool):
+        """Per-stage CE + smooth-L1 (reference cascade_rcnn.py:_forward_box
+        training arm: stage 0 samples once, later stages re-match their
+        predecessor's regressed boxes at the stage IoU)."""
+        from .heads.cascade import match_and_label
+
+        rng = self.make_rng("dropout")
+        B = batch.image.shape[0]
+        sampled = jax.vmap(
+            lambda p, m, gb, gc, gv, r: fast_rcnn_lib.subsample_proposals(
+                p, m, gb, gc, gv, r,
+                iou_thresholds=(self.cascade_ious[0],))
+        )(batch.proposals, batch.proposal_mask, batch.gt_boxes,
+          batch.gt_classes, batch.gt_valid, jax.random.split(rng, B))
+
+        boxes = jnp.take_along_axis(
+            batch.proposals, sampled.indices[..., None], axis=1)
+        valid = sampled.valid
+        S = boxes.shape[1]
+
+        losses = {}
+        for k in range(len(self.cascade_ious)):
+            if k == 0:
+                cls_tgt, box_tgt = sampled.gt_class, sampled.gt_box
+            else:
+                cls_tgt, box_tgt = jax.vmap(
+                    lambda bx, gb, gc, gv: match_and_label(
+                        bx, gb, gc, gv, self.cascade_ious[k])
+                )(boxes, batch.gt_boxes, batch.gt_classes, batch.gt_valid)
+            cls_logits, deltas, new_boxes = self._cascade_stage(
+                k, feats, boxes, valid, train=train)
+            stage = jax.vmap(
+                lambda cl, d, bx, c, gb, v: fast_rcnn_lib.fast_rcnn_losses(
+                    cl, d, bx,
+                    fast_rcnn_lib.SampledProposals(
+                        indices=jnp.arange(S, dtype=jnp.int32),
+                        gt_class=c, gt_box=gb, valid=v),
+                    self.num_classes,
+                    tuple(self.cascade_reg_weights[k]))
+            )(cls_logits, deltas, boxes, cls_tgt, box_tgt, valid)
+            losses[f"loss_cls_stage{k}"] = jnp.mean(stage[0])
+            losses[f"loss_box_reg_stage{k}"] = jnp.mean(stage[1])
+            boxes = jax.vmap(box_ops.clip)(new_boxes, batch.image_hw)
+        return losses
+
+    def _cascade_inference(self, feats, batch):
+        """Average per-stage class probs; boxes from the last stage
+        (reference cascade_rcnn.py:_forward_box inference arm)."""
+        boxes = batch.proposals
+        mask = batch.proposal_mask
+        probs = []
+        for k in range(len(self.cascade_ious)):
+            cls_logits, _, new_boxes = self._cascade_stage(
+                k, feats, boxes, mask, train=False)
+            probs.append(jax.nn.softmax(cls_logits, axis=-1))
+            boxes = jax.vmap(box_ops.clip)(new_boxes, batch.image_hw)
+        scores = sum(probs) / len(probs)
+        scores = jnp.where(mask[..., None], scores, 0.0)
+        return scores, boxes
+
     # -------------------------------------------------------------- inference
     def inference_scores(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Full score/box matrices for NMS & TTA.
@@ -305,6 +440,8 @@ class GeneralizedRCNNWSL(nn.Module):
             roi_heads_oicr.py:407-421).
         """
         feats = self.features(batch.image)
+        if self.head_type == "CascadeRCNN":
+            return self._cascade_inference(feats, batch)
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
             train=False)
