@@ -37,7 +37,13 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
-    p.add_argument("--input", required=True, help="image path")
+    p.add_argument("--input", required=True, nargs="+",
+                   help="image path(s); several paths are treated as a "
+                        "frame sequence (video equivalent — no codec in "
+                        "this environment)")
+    p.add_argument("--output", default="",
+                   help="file (single input) or directory to write "
+                        "annotated images")
     p.add_argument("--proposals", default="", help="pickle with boxes")
     p.add_argument("--confidence-threshold", type=float, default=0.3)
     p.add_argument("opts", nargs=argparse.REMAINDER)
@@ -48,32 +54,71 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    image = read_image(args.input, cfg.INPUT.FORMAT)
+    proposal_data = None
     if args.proposals:
         with open(args.proposals, "rb") as f:
-            data = pickle.load(f)
-        boxes = np.asarray(data["boxes"][0] if "boxes" in data else data,
-                           dtype=np.float32)
-        objectness = np.asarray(
-            data.get("objectness_logits", [np.zeros(len(boxes))])[0],
-            dtype=np.float32)
-    else:
-        boxes = grid_proposals(*image.shape[:2])
-        objectness = np.zeros(len(boxes), dtype=np.float32)
+            proposal_data = pickle.load(f)
 
     predictor = DefaultPredictor(cfg)
-    out = predictor(image, boxes, objectness)
-
     names = VOC_CLASS_NAMES if cfg.MODEL.ROI_HEADS.NUM_CLASSES == 20 else \
         [str(i) for i in range(cfg.MODEL.ROI_HEADS.NUM_CLASSES)]
-    n = 0
-    for box, score, cls in zip(out["boxes"], out["scores"], out["classes"]):
-        if score < args.confidence_threshold:
-            continue
-        n += 1
-        print(f"{names[int(cls)]:>14s}  {score:.3f}  "
-              f"[{box[0]:.0f}, {box[1]:.0f}, {box[2]:.0f}, {box[3]:.0f}]")
-    print(f"{n} detections above {args.confidence_threshold}")
+
+    is_sequence = len(args.input) > 1
+    video_vis = None
+    if is_sequence and args.output:
+        from drn_wsod_tpu.utils.video_visualizer import VideoVisualizer
+
+        video_vis = VideoVisualizer(names)
+
+    for fi, path in enumerate(args.input):
+        image = read_image(path, cfg.INPUT.FORMAT)
+        if proposal_data is not None:
+            data = proposal_data
+            all_boxes = data["boxes"] if "boxes" in data else [data]
+            boxes = np.asarray(all_boxes[min(fi, len(all_boxes) - 1)],
+                               dtype=np.float32)
+            obj = data.get("objectness_logits",
+                           [np.zeros(len(boxes))] * (fi + 1))
+            objectness = np.asarray(obj[min(fi, len(obj) - 1)],
+                                    dtype=np.float32)
+        else:
+            boxes = grid_proposals(*image.shape[:2])
+            objectness = np.zeros(len(boxes), dtype=np.float32)
+
+        out = predictor(image, boxes, objectness)
+
+        n = 0
+        for box, score, cls in zip(out["boxes"], out["scores"],
+                                   out["classes"]):
+            if score < args.confidence_threshold:
+                continue
+            n += 1
+            print(f"{names[int(cls)]:>14s}  {score:.3f}  "
+                  f"[{box[0]:.0f}, {box[1]:.0f}, "
+                  f"{box[2]:.0f}, {box[3]:.0f}]")
+        print(f"{path}: {n} detections above {args.confidence_threshold}")
+
+        if args.output:
+            from PIL import Image
+
+            if video_vis is not None:
+                vis = video_vis.draw_frame(
+                    image, out["boxes"], out["scores"], out["classes"],
+                    score_thresh=args.confidence_threshold)
+            else:
+                from drn_wsod_tpu.utils.visualizer import Visualizer
+
+                v = Visualizer(image, names)
+                v.draw_instance_predictions(
+                    out["boxes"], out["scores"], out["classes"],
+                    score_thresh=args.confidence_threshold)
+                vis = v.get_image()
+            if is_sequence or os.path.isdir(args.output):
+                os.makedirs(args.output, exist_ok=True)
+                dst = os.path.join(args.output, os.path.basename(path))
+            else:
+                dst = args.output
+            Image.fromarray(vis).save(dst)
 
 
 if __name__ == "__main__":
