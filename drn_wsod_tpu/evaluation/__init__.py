@@ -1,8 +1,9 @@
 from .evaluator import inference_on_dataset, make_detect_fn
+from .sem_seg_eval import SemSegEvaluator
 from .voc_eval import (PascalVOCDetectionEvaluator, voc_ap, voc_eval_class,
                        voc_eval_corloc_class)
 
 __all__ = [
     "inference_on_dataset", "make_detect_fn", "PascalVOCDetectionEvaluator",
-    "voc_ap", "voc_eval_class", "voc_eval_corloc_class",
+    "SemSegEvaluator", "voc_ap", "voc_eval_class", "voc_eval_corloc_class",
 ]
