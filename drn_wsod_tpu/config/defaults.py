@@ -104,6 +104,29 @@ def get_cfg() -> CfgNode:
     # required, e.g. CSC's backprop-to-image).
     _C.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER = True
 
+    # RetinaNet (reference detectron2/config/defaults.py MODEL.RETINANET +
+    # MODEL.ANCHOR_GENERATOR; meta_arch/retinanet.py).
+    _C.MODEL.RETINANET = CfgNode()
+    _C.MODEL.RETINANET.NUM_CLASSES = 80
+    _C.MODEL.RETINANET.IN_FEATURES = ["p3", "p4", "p5", "p6"]
+    _C.MODEL.RETINANET.NUM_CONVS = 4
+    _C.MODEL.RETINANET.IOU_THRESHOLDS = [0.4, 0.5]
+    _C.MODEL.RETINANET.IOU_LABELS = [0, -1, 1]
+    _C.MODEL.RETINANET.PRIOR_PROB = 0.01
+    _C.MODEL.RETINANET.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 1000
+    _C.MODEL.RETINANET.NMS_THRESH_TEST = 0.5
+    _C.MODEL.RETINANET.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    _C.MODEL.RETINANET.FOCAL_LOSS_GAMMA = 2.0
+    _C.MODEL.RETINANET.FOCAL_LOSS_ALPHA = 0.25
+    _C.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA = 0.1
+
+    _C.MODEL.ANCHOR_GENERATOR = CfgNode()
+    _C.MODEL.ANCHOR_GENERATOR.SIZES = [
+        [32.0, 40.0, 51.0], [64.0, 81.0, 102.0],
+        [128.0, 161.0, 203.0], [256.0, 323.0, 406.0]]
+    _C.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+
     # Cascade R-CNN (reference detectron2/modeling/roi_heads/cascade_rcnn.py
     # + configs/Misc/cascade_*.yaml): per-stage box-transform weights and
     # matcher IoU thresholds.

@@ -43,7 +43,12 @@ def make_detect_fn(model, score_thresh: float, nms_thresh: float,
 
         nms_one = partial(multiclass_nms, iou_threshold=nms_thresh,
                           score_threshold=score_thresh, topk=topk)
-        dets = jax.vmap(nms_one)(nms_boxes, fg_scores, batch.proposal_mask)
+        # dense detectors (RetinaNet) emit their own candidate set, not the
+        # batch's proposal slots — every candidate row is live then
+        mask = batch.proposal_mask
+        if mask is None or mask.shape[1] != scores.shape[1]:
+            mask = jnp.ones(scores.shape[:2], bool)
+        dets = jax.vmap(nms_one)(nms_boxes, fg_scores, mask)
         dets["boxes"] = rescale_boxes(dets["boxes"], batch.image_hw,
                                       batch.orig_hw)
         dets["all_scores"] = scores

@@ -130,6 +130,40 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
     )
 
 
+@META_ARCH_REGISTRY.register("RetinaNet")
+def _build_retinanet(cfg: CfgNode):
+    from .retinanet import RetinaNet
+
+    backbone, strides, _ = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
+    r = cfg.MODEL.RETINANET
+    in_features = tuple(r.IN_FEATURES)
+    sizes = tuple(tuple(float(x) for x in s)
+                  for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES)
+    assert len(sizes) == len(in_features), \
+        "ANCHOR_GENERATOR.SIZES must list one size group per IN_FEATURE"
+    return RetinaNet(
+        backbone=backbone,
+        in_features=in_features,
+        strides=tuple(int(strides[f]) for f in in_features),
+        anchor_sizes=sizes,
+        aspect_ratios=tuple(
+            float(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        num_classes=r.NUM_CLASSES,
+        num_convs=r.NUM_CONVS,
+        prior_prob=r.PRIOR_PROB,
+        iou_thresholds=tuple(r.IOU_THRESHOLDS),
+        iou_labels=tuple(r.IOU_LABELS),
+        focal_alpha=r.FOCAL_LOSS_ALPHA,
+        focal_gamma=r.FOCAL_LOSS_GAMMA,
+        smooth_l1_beta=r.SMOOTH_L1_LOSS_BETA,
+        reg_weights=tuple(r.BBOX_REG_WEIGHTS),
+        topk_candidates=r.TOPK_CANDIDATES_TEST,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+
+
 def build_model(cfg: CfgNode) -> GeneralizedRCNNWSL:
     """Build the configured meta-architecture (reference build_model,
     detectron2/modeling/meta_arch/build.py:15)."""
