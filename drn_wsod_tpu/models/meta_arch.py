@@ -165,11 +165,15 @@ class GeneralizedRCNNWSL(nn.Module):
                     jnp.ones_like(objectness)
                 roi_scale = obj * prop_mask.astype(obj.dtype)
 
+                # vmap folds the batch into the kernel grid (one launch,
+                # cross-image pipelining) — measured faster than unrolled
+                # per-image launches AND than the wide-CT DMA layout
+                # (38.5 vs 43.1 vs 41.5 ms, PERF.md round-2 iterations)
                 pooled = jax.vmap(
                     lambda fmap, boxes, sc: roi_pool_pallas(
                         fmap, boxes, scale, resolution=res,
                         interpret=jax.default_backend() == "cpu",
-                        roi_scale=sc)
+                        roi_scale=sc, unroll_rois=True)
                 )(feats, proposals, roi_scale)
                 B, P = pooled.shape[:2]
                 flat = pooled.reshape(B * P, -1)

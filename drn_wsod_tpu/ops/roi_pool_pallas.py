@@ -130,11 +130,36 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
             mi_b.reshape(P, R * R * NW), tier, valid)
 
 
-def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False):
-    """Masked-16-window formulation with per-ROI tiers (module docstring)."""
+def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
+                 hbm_tables=False):
+    """Masked-16-window formulation with per-ROI tiers (module docstring).
 
-    def kernel(ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, feat_ref,
-               out_ref, tab_ref):
+    ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
+    DMAs its (Ky*H, W8, CT) slice into a SINGLE-buffered VMEM scratch at the
+    pass's first grid step. This frees the double buffer the block pipeline
+    would allocate, which is what lets CT reach 1024 (2 channel passes for
+    C=2048 instead of 4 — the kernel is scalar-issue-bound per sample
+    iteration, and iterations scale with C/CT). The copy costs ~100us per
+    pass vs ~10ms of pass compute.
+    """
+
+    def kernel(ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, feat_hbm_or_vmem,
+               out_ref, *scratch):
+        if hbm_tables:
+            tab_ref, feat_ref, copy_sem = scratch
+            cidx = pl.program_id(0)
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    feat_hbm_or_vmem.at[:, :, pl.ds(cidx * CT, CT)],
+                    feat_ref, copy_sem)
+                cp.start()
+                cp.wait()
+        else:
+            (tab_ref,) = scratch
+            feat_ref = feat_hbm_or_vmem
+
         # Fill the mask table once (scratch persists across grid steps).
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
@@ -205,30 +230,76 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False):
     return kernel
 
 
+_VMEM_BUDGET = 120 * 1024 * 1024      # leave headroom under v5e's 128M
+
+
+def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
+                            spatial_scale: float, resolution: int = 7,
+                            interpret: bool = False,
+                            roi_scale: jnp.ndarray | None = None
+                            ) -> jnp.ndarray:
+    """(B, H, W, C) batched wrapper: statically unrolled per-image kernel
+    launches. NOT jax.vmap — vmap of pallas_call folds the batch into the
+    grid by rewriting every BlockSpec, which the ANY-memory-space table
+    input (hbm_tables wide-CT layout) does not support; B is 1-4 here and
+    per-launch overhead is ~100us."""
+    B = features.shape[0]
+    outs = []
+    for b in range(B):
+        outs.append(roi_pool_pallas(
+            features[b], boxes[b], spatial_scale, resolution=resolution,
+            interpret=interpret,
+            roi_scale=None if roi_scale is None else roi_scale[b]))
+    return jnp.stack(outs)
+
+
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
-                                   "roi_block", "c_tile", "interpret"))
+                                   "roi_block", "c_tile", "interpret",
+                                   "unroll_rois"))
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
                     roi_block: int = 8,
                     c_tile: int = 512, interpret: bool = False,
-                    roi_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                    roi_scale: jnp.ndarray | None = None,
+                    unroll_rois: bool = False) -> jnp.ndarray:
     """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, exact max.
 
     ``roi_scale`` (P,) optionally scales each RoI's output in the kernel
     epilogue (fuses the WSOD (objectness+1)*validity multiply, saving two
-    full passes over the 800MB pooled tensor)."""
+    full passes over the 800MB pooled tensor).
+
+    Channel-tile selection: sample iterations are P * R^2 * (C / CT) and the
+    kernel is scalar-issue-bound per iteration, so the widest CT that fits
+    VMEM wins. The block pipeline double-buffers the stacked-table block; at
+    CT=1024 that no longer fits, so wide tiles switch to a single-buffered
+    scratch filled by an explicit per-pass DMA (``hbm_tables``)."""
     H, W, C = features.shape
     P = boxes.shape[0]
     R = resolution
     RB = min(roi_block, P)
     while P % RB != 0:
         RB //= 2
-    CT = min(c_tile, C)
-    while C % CT != 0:
-        CT //= 2
 
     Ky = _num_levels(H, R)
     NW = max(_load_extent(W, R), 2)
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    n_masks = 8 * LX + 1                       # + all-poison entry
+    itemsize = jnp.dtype(features.dtype).itemsize
+
+    def footprint(ct, hbm):
+        table = Ky * H * W8 * ct * itemsize
+        masks = n_masks * LX * ct * itemsize
+        out_blk = 2 * RB * R * R * ct * itemsize
+        return (1 if hbm else 2) * table + masks + out_blk
+
+    CT = min(c_tile, C)
+    while C % CT != 0:
+        CT //= 2
+    # shrink until SOME layout fits, then prefer the pipelined block path
+    while CT > 128 and footprint(CT, hbm=True) > _VMEM_BUDGET:
+        CT //= 2
+    hbm_tables = footprint(CT, hbm=False) > _VMEM_BUDGET
+
     ys, x8, mi, tier, valid = _kernel_positions(boxes, spatial_scale, H, W, R)
     if roi_scale is None:
         roi_scale = jnp.ones((P,), jnp.float32)
@@ -238,37 +309,43 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
 
     # pad W (sublane dim) so every aligned (LX,) window is in bounds:
     # max start is (W-1)//8*8 + (NW-1)*LX
-    W8 = ((W - 1) // 8) * 8 + NW * LX
     tables = build_y_tables(features, Ky, pad_w=W8 - W)  # (Ky*H, W8, C)
 
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (C // CT, P // RB)
-    n_masks = 8 * LX + 1                       # + all-poison entry
+    smem_specs = [
+        pl.BlockSpec((RB, R * R * 2), lambda c, r: (r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((RB, R * R * NW), lambda c, r: (r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((RB, 1), lambda c, r: (r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    scratch = [pltpu.VMEM((n_masks, LX, CT), features.dtype)]
+    if hbm_tables:
+        feat_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM((Ky * H, W8, CT), features.dtype),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        feat_spec = pl.BlockSpec((Ky * H, W8, CT), lambda c, r: (0, 0, c),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_kernel(RB, R, CT, NW, neg_val, features.dtype),
+        _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
+                     unroll_rois=unroll_rois, hbm_tables=hbm_tables),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((RB, R * R * 2), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R * R * NW), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, 1), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((Ky * H, W8, CT), lambda c, r: (0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=smem_specs + [feat_spec],
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, R * R, C), features.dtype),
-        scratch_shapes=[pltpu.VMEM((n_masks, LX, CT), features.dtype)],
+        scratch_shapes=scratch,
         # the stacked-table block (Ky*H, W8, CT) is far over the default 16M
         # scoped-vmem limit; v5e has 128M VMEM.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(ys, x8, mi, tier, bin_scale, tables)
     return out.reshape(P, R, R, C)

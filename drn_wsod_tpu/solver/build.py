@@ -122,14 +122,19 @@ def make_param_labels(params: Dict[str, Any], freeze_at: int) -> Dict[str, Any]:
         lambda path, _: labels[jax.tree_util.keystr(path)], params)
 
 
-def _sgd(lr_schedule, weight_decay, momentum, nesterov, clip=None):
+def _sgd(lr_schedule, weight_decay, momentum, nesterov, clip=None,
+         momentum_dtype=None):
     chain = []
     if clip is not None:
         chain.append(clip)
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     if momentum:
-        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        # momentum_dtype="bfloat16" halves the optimizer's HBM traffic on
+        # the 850MB momentum buffers (a TPU-side option; the reference is
+        # f32 throughout — default unchanged)
+        chain.append(optax.trace(decay=momentum, nesterov=nesterov,
+                                 accumulator_dtype=momentum_dtype))
     chain.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*chain)
 
@@ -148,12 +153,15 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         else:
             clip = optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE)
 
+    mom_dtype = getattr(s, "MOMENTUM_DTYPE", "float32")
+    mom_dtype = None if mom_dtype in ("", "float32") else mom_dtype
     labels = make_param_labels(params, cfg.MODEL.BACKBONE.FREEZE_AT)
     tx = optax.multi_transform(
         {
-            "weight": _sgd(sched, s.WEIGHT_DECAY, s.MOMENTUM, s.NESTEROV, clip),
+            "weight": _sgd(sched, s.WEIGHT_DECAY, s.MOMENTUM, s.NESTEROV,
+                           clip, mom_dtype),
             "bias": _sgd(bias_sched, s.WEIGHT_DECAY_BIAS, s.MOMENTUM,
-                         s.NESTEROV, clip),
+                         s.NESTEROV, clip, mom_dtype),
             "frozen": optax.set_to_zero(),
         },
         labels,

@@ -28,3 +28,31 @@ def test_pallas_matches_xla(seed):
                                      0.25, resolution=7,
                                      roi_block=4, c_tile=8, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_hbm_tables_path_matches_xla(monkeypatch):
+    """The single-buffered DMA-scratch layout (used on real maps at wide
+    channel tiles) must be bit-identical to the pipelined block layout."""
+    import sys
+
+    rp = sys.modules["drn_wsod_tpu.ops.roi_pool_pallas"]
+    monkeypatch.setattr(rp, "_VMEM_BUDGET", 500 * 1024)
+    rng = np.random.RandomState(2)
+    H = W = 24
+    C = 16
+    P = 8
+    feat = rng.randn(H, W, C).astype(np.float32)
+    x1 = rng.uniform(0, W * 4, P).astype(np.float32)
+    y1 = rng.uniform(0, H * 4, P).astype(np.float32)
+    bw = rng.uniform(16, 80, P).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bw], -1)
+
+    want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25,
+                               resolution=7, samples=2))
+    got = np.asarray(rp.roi_pool_pallas(jnp.asarray(feat),
+                                        jnp.asarray(boxes),
+                                        0.25, resolution=7,
+                                        roi_block=4, c_tile=16,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
