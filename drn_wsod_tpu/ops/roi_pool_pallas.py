@@ -131,7 +131,7 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
 
 
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
-                 hbm_tables=False):
+                 hbm_tables=False, int8_mode=False):
     """Masked-16-window formulation with per-ROI tiers (module docstring).
 
     ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
@@ -141,10 +141,26 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
     C=2048 instead of 4 — the kernel is scalar-issue-bound per sample
     iteration, and iterations scale with C/CT). The copy costs ~100us per
     pass vs ~10ms of pass compute.
+
+    ``int8_mode``: the tables hold per-channel symmetrically quantized int8
+    (max commutes with the monotone per-channel map, so the pooled MAX is
+    exact in int8 space); lanes are masked by ``min`` against a {127, -128}
+    table (min(x, 127) = x keeps, min(x, -128) = -128 poisons — one op like
+    the additive bf16 poison, no overflow) and the emit dequantizes with the
+    per-channel scale. int8 packs 4 elements per 32-bit lane vs bf16's 2,
+    halving the vector-issue cost of the loads/masks/maxes that dominate
+    the kernel.
     """
 
-    def kernel(ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, feat_hbm_or_vmem,
-               out_ref, *scratch):
+    def kernel(*refs):
+        if int8_mode:
+            (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, chs_ref,
+             feat_hbm_or_vmem, out_ref) = refs[:8]
+            scratch = refs[8:]
+        else:
+            (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref,
+             feat_hbm_or_vmem, out_ref) = refs[:7]
+            scratch = refs[7:]
         if hbm_tables:
             tab_ref, feat_ref, copy_sem = scratch
             cidx = pl.program_id(0)
@@ -167,21 +183,24 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             # which Mosaic cannot relayout into a bf16 (16, 128) select).
             sub = jax.lax.broadcasted_iota(
                 jnp.int32, (LX, CT), 0).astype(jnp.float32)
+            keep = jnp.asarray(127.0 if int8_mode else 0.0, jnp.float32)
+            poison = jnp.asarray(-128.0 if int8_mode else neg_val,
+                                 jnp.float32)
+            tdt = jnp.int8 if int8_mode else dtype
             for a in range(8):
                 for b in range(a + 1, LX + 1):
                     tab_ref[a * LX + (b - 1)] = jnp.where(
                         (sub >= float(a)) & (sub < float(b)),
-                        jnp.zeros((), jnp.float32),
-                        jnp.asarray(neg_val, jnp.float32)).astype(dtype)
-            tab_ref[8 * LX] = jnp.full(
-                (LX, CT), jnp.asarray(neg_val, jnp.float32)).astype(dtype)
+                        keep, poison).astype(tdt)
+            tab_ref[8 * LX] = jnp.full((LX, CT), poison).astype(tdt)
 
         def one_roi(i):
             def win(b, sy, j):
                 y = ys_ref[i, 2 * b + sy]    # ky*H + row (RMQ window pair)
                 x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
-                return (feat_ref[y, pl.ds(x8, LX), :]
-                        + tab_ref[mi_ref[i, NW * b + j]])
+                w = feat_ref[y, pl.ds(x8, LX), :]
+                t = tab_ref[mi_ref[i, NW * b + j]]
+                return jnp.minimum(w, t) if int8_mode else w + t
 
             def emit(b, acc):
                 # fused epilogue: per-bin scale = (objectness+1) * validity
@@ -190,8 +209,16 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                 # NET SLOWER (unfused 1.6GB elementwise pass).
                 # halve the cross-sublane reduce first: one (8, CT) max
                 # replaces a level of the 16-row shuffle tree
-                m = jnp.max(jnp.maximum(acc[:8], acc[8:]), axis=0)
-                out_ref[i, b, :] = m * scale_ref[i, b].astype(dtype)
+                if int8_mode:
+                    # Mosaic has no int8 axis-reduction: one elementwise
+                    # split-half max in int8, then finish the tree in f32
+                    m = jnp.max(jnp.maximum(acc[:8], acc[8:])
+                                .astype(jnp.float32), axis=0)
+                    out_ref[i, b, :] = (m * chs_ref[0]
+                                        * scale_ref[i, b]).astype(dtype)
+                else:
+                    m = jnp.max(jnp.maximum(acc[:8], acc[8:]), axis=0)
+                    out_ref[i, b, :] = m * scale_ref[i, b].astype(dtype)
 
             # one branch per ROI (per-bin branches measured 2x slower)
             tier = tier_ref[i, 0]
@@ -255,13 +282,14 @@ def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
                                    "roi_block", "c_tile", "interpret",
-                                   "unroll_rois"))
+                                   "unroll_rois", "quantize_int8"))
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
                     roi_block: int = 8,
                     c_tile: int = 512, interpret: bool = False,
                     roi_scale: jnp.ndarray | None = None,
-                    unroll_rois: bool = False) -> jnp.ndarray:
+                    unroll_rois: bool = False,
+                    quantize_int8: bool = False) -> jnp.ndarray:
     """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, exact max.
 
     ``roi_scale`` (P,) optionally scales each RoI's output in the kernel
@@ -284,7 +312,8 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     NW = max(_load_extent(W, R), 2)
     W8 = ((W - 1) // 8) * 8 + NW * LX
     n_masks = 8 * LX + 1                       # + all-poison entry
-    itemsize = jnp.dtype(features.dtype).itemsize
+    table_dtype = jnp.int8 if quantize_int8 else features.dtype
+    itemsize = jnp.dtype(table_dtype).itemsize
 
     def footprint(ct, hbm):
         table = Ky * H * W8 * ct * itemsize
@@ -309,7 +338,19 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
 
     # pad W (sublane dim) so every aligned (LX,) window is in bounds:
     # max start is (W-1)//8*8 + (NW-1)*LX
-    tables = build_y_tables(features, Ky, pad_w=W8 - W)  # (Ky*H, W8, C)
+    if quantize_int8:
+        # per-channel symmetric quantization: the pooled max is exact in
+        # int8 space (monotone map); dequantized in the kernel epilogue
+        absmax = jnp.max(jnp.abs(features.astype(jnp.float32)), axis=(0, 1))
+        ch_scale = (jnp.maximum(absmax, 1e-6) / 127.0)            # (C,)
+        qfeat = jnp.clip(
+            jnp.round(features.astype(jnp.float32) / ch_scale),
+            -127, 127).astype(jnp.int8)
+        tables = build_y_tables(qfeat, Ky, pad_w=W8 - W)
+        chs = ch_scale.reshape(1, C)
+    else:
+        tables = build_y_tables(features, Ky, pad_w=W8 - W)  # (Ky*H, W8, C)
+        chs = None
 
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (C // CT, P // RB)
@@ -325,17 +366,25 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
                      memory_space=pltpu.SMEM),
     ]
-    scratch = [pltpu.VMEM((n_masks, LX, CT), features.dtype)]
+    if quantize_int8:
+        smem_specs.append(pl.BlockSpec((1, CT), lambda c, r: (0, c),
+                                       memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((n_masks, LX, CT), table_dtype)]
     if hbm_tables:
         feat_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch += [pltpu.VMEM((Ky * H, W8, CT), features.dtype),
+        scratch += [pltpu.VMEM((Ky * H, W8, CT), table_dtype),
                     pltpu.SemaphoreType.DMA]
     else:
         feat_spec = pl.BlockSpec((Ky * H, W8, CT), lambda c, r: (0, 0, c),
                                  memory_space=pltpu.VMEM)
+    args = [ys, x8, mi, tier, bin_scale]
+    if quantize_int8:
+        args.append(chs)
+    args.append(tables)
     out = pl.pallas_call(
         _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
-                     unroll_rois=unroll_rois, hbm_tables=hbm_tables),
+                     unroll_rois=unroll_rois, hbm_tables=hbm_tables,
+                     int8_mode=quantize_int8),
         grid=grid,
         in_specs=smem_specs + [feat_spec],
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
@@ -347,5 +396,5 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
-    )(ys, x8, mi, tier, bin_scale, tables)
+    )(*args)
     return out.reshape(P, R, R, C)
