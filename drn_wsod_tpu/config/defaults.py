@@ -208,6 +208,9 @@ def get_cfg() -> CfgNode:
     _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
     _C.SOLVER.GAMMA = 0.1
     _C.SOLVER.STEPS = (35000, 45000)
+    # When non-zero, auto_scale_workers() rescales batch/LR/iters to the
+    # actual chip count (reference DefaultTrainer.auto_scale_workers)
+    _C.SOLVER.REFERENCE_WORLD_SIZE = 0
     _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
     _C.SOLVER.WARMUP_ITERS = 0
     _C.SOLVER.WARMUP_METHOD = "linear"

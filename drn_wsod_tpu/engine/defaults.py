@@ -40,6 +40,39 @@ def setup_logger(output_dir: Optional[str] = None, name: str = "drn_wsod_tpu"):
     return logging.getLogger(name)
 
 
+def auto_scale_workers(cfg, num_workers: int):
+    """Rescale batch size / LR / schedule to the actual chip count so the
+    per-chip batch stays what ``SOLVER.REFERENCE_WORLD_SIZE`` defined
+    (reference DefaultTrainer.auto_scale_workers, engine/defaults.py:536:
+    LR scales linearly per the ImageNet-in-1h rule, iteration counts scale
+    inversely). Returns cfg unchanged when REFERENCE_WORLD_SIZE is 0 or
+    already equals ``num_workers``."""
+    old = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old == 0 or old == num_workers:
+        return cfg
+    assert cfg.SOLVER.IMS_PER_BATCH % old == 0, \
+        "Invalid REFERENCE_WORLD_SIZE in config!"
+    frozen = cfg.is_frozen()
+    cfg = cfg.clone()
+    cfg.defrost()
+    scale = num_workers / old
+    cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale))
+                             for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+    logger.info(
+        "Auto-scaled config to batch_size=%d, lr=%g, max_iter=%d, warmup=%d",
+        cfg.SOLVER.IMS_PER_BATCH, cfg.SOLVER.BASE_LR, cfg.SOLVER.MAX_ITER,
+        cfg.SOLVER.WARMUP_ITERS)
+    if frozen:
+        cfg.freeze()
+    return cfg
+
+
 def default_setup(cfg, args=None):
     """Create output dir, set up logging, seed, dump config
     (reference defaults.py:106-154)."""

@@ -39,12 +39,15 @@ def benchmark_train_synthetic(cfg, iters=20):
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
+    # value-dependent fence: block_until_ready does not synchronize on the
+    # axon platform, and per-iteration fencing measures the ~100ms tunnel
+    # dispatch latency instead of the kernel (PERF.md methodology note)
     state, m = step(state, batch, rng)
-    jax.block_until_ready(m)
+    float(jax.device_get(m["total_loss"]))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, rng)
-    jax.block_until_ready(m)
+    float(jax.device_get(m["total_loss"]))
     dt = time.perf_counter() - t0
     print(f"train: {dt / iters * 1000:.1f} ms/iter, "
           f"{B * iters / dt:.2f} img/s")
@@ -64,13 +67,14 @@ def benchmark_eval_synthetic(cfg, iters=20):
     detect = make_detect_fn(model, cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
                             cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
                             cfg.TEST.DETECTIONS_PER_IMAGE)
+    # enqueue all iters, fence once (device program order is sequential);
+    # per-iteration device_get would time the tunnel, not the step
     d = detect(variables, batch)
-    jax.device_get(d["scores"][0, 0])
+    float(jax.device_get(d["scores"][0, 0]))
     t0 = time.perf_counter()
-    total = 0.0
     for _ in range(iters):
         d = detect(variables, batch)
-        total += float(jax.device_get(d["scores"][0, 0]))
+    float(jax.device_get(d["scores"][0, 0]))
     dt = time.perf_counter() - t0
     print(f"eval: {dt / iters * 1000:.1f} ms/img, {iters / dt:.2f} img/s")
 
