@@ -104,6 +104,23 @@ def get_cfg() -> CfgNode:
     # required, e.g. CSC's backprop-to-image).
     _C.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER = True
 
+    # PanopticFPN + semantic head (reference MODEL.SEM_SEG_HEAD /
+    # MODEL.PANOPTIC_FPN config nodes).
+    _C.MODEL.SEM_SEG_HEAD = CfgNode()
+    _C.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    _C.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 54
+    _C.MODEL.SEM_SEG_HEAD.CONVS_DIM = 128
+    _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    _C.MODEL.SEM_SEG_HEAD.IGNORE_VALUE = 255
+    _C.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 1.0
+    _C.MODEL.PANOPTIC_FPN = CfgNode()
+    _C.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT = 1.0
+    _C.MODEL.PANOPTIC_FPN.COMBINE = CfgNode()
+    _C.MODEL.PANOPTIC_FPN.COMBINE.ENABLED = True
+    _C.MODEL.PANOPTIC_FPN.COMBINE.OVERLAP_THRESH = 0.5
+    _C.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT = 4096
+    _C.MODEL.PANOPTIC_FPN.COMBINE.INSTANCES_CONFIDENCE_THRESH = 0.5
+
     # RetinaNet (reference detectron2/config/defaults.py MODEL.RETINANET +
     # MODEL.ANCHOR_GENERATOR; meta_arch/retinanet.py).
     _C.MODEL.RETINANET = CfgNode()

@@ -164,6 +164,34 @@ def _build_retinanet(cfg: CfgNode):
     )
 
 
+@META_ARCH_REGISTRY.register("PanopticFPN")
+def _build_panoptic_fpn(cfg: CfgNode):
+    from .panoptic import PanopticFPN
+
+    backbone, strides, _ = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
+    sem = cfg.MODEL.SEM_SEG_HEAD
+    sem_feats = tuple(sem.IN_FEATURES)
+    box_feats = tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES) or sem_feats
+    return PanopticFPN(
+        backbone=backbone,
+        pyramid_strides=tuple((f, int(strides[f])) for f in box_feats),
+        sem_in_features=sem_feats,
+        sem_strides=tuple(int(strides[f]) for f in sem_feats),
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        sem_num_classes=sem.NUM_CLASSES,
+        common_stride=sem.COMMON_STRIDE,
+        sem_conv_dim=sem.CONVS_DIM,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        mask_on=cfg.MODEL.MASK_ON,
+        instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
+        sem_loss_weight=sem.LOSS_WEIGHT,
+        reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+
+
 def build_model(cfg: CfgNode) -> GeneralizedRCNNWSL:
     """Build the configured meta-architecture (reference build_model,
     detectron2/modeling/meta_arch/build.py:15)."""

@@ -147,3 +147,60 @@ def optax_sigmoid_bce(logits, targets):
     log_p = jax.nn.log_sigmoid(logits)
     log_np = jax.nn.log_sigmoid(-logits)
     return -(targets * log_p + (1.0 - targets) * log_np)
+
+
+class SemSegFPNHead(nn.Module):
+    """PanopticFPN semantic head (reference
+    detectron2/modeling/meta_arch/semantic_seg.py:104-176): per FPN level a
+    scale head of [3x3 conv + GN + ReLU, 2x bilinear upsample] repeated
+    until the level reaches ``common_stride``; levels are summed and a 1x1
+    predictor emits per-pixel class logits at common_stride resolution."""
+
+    num_classes: int
+    in_strides: Sequence[int] = (4, 8, 16, 32)
+    common_stride: int = 4
+    conv_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """feats: per-level (B, H_l, W_l, C) NHWC maps (finest first).
+        Returns (B, H/cs, W/cs, num_classes) f32 logits."""
+        import numpy as _np
+
+        summed = None
+        for li, (f, stride) in enumerate(zip(feats, self.in_strides)):
+            length = max(1, int(_np.log2(stride)
+                                - _np.log2(self.common_stride)))
+            x = f
+            for k in range(length):
+                x = nn.Conv(self.conv_dim, (3, 3), use_bias=False,
+                            dtype=self.dtype,
+                            name=f"scale_head_{li}_conv{k}")(x)
+                x = nn.GroupNorm(num_groups=min(32, self.conv_dim),
+                                 dtype=jnp.float32,
+                                 name=f"scale_head_{li}_gn{k}")(x)
+                x = nn.relu(x)
+                if stride != self.common_stride:
+                    B, H, W, C = x.shape
+                    x = jax.image.resize(x, (B, 2 * H, 2 * W, C),
+                                         "bilinear")
+                    stride //= 2
+            summed = x if summed is None else summed + x
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         name="predictor")(summed)
+        return logits.astype(jnp.float32)
+
+
+def sem_seg_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                 ignore_value: int = 255) -> jnp.ndarray:
+    """Pixelwise CE at the logits' resolution (reference SemSegFPNHead
+    losses: upsample-to-image + CE with ignore_value; here the target is
+    downsampled by the caller to common_stride — same objective up to the
+    sampling grid)."""
+    valid = targets != ignore_value
+    tgt = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, ce, 0.0)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
