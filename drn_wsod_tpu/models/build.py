@@ -126,6 +126,9 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
         with_seg=head_name == "WSJDSROIHeads" or cfg.MODEL.MASK_ON,
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_pooler_resolution=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
     )
 

@@ -69,6 +69,11 @@ class GeneralizedRCNNWSL(nn.Module):
     # backbone features, trained from CPG pseudo-labels inside the CSC step
     # (reference projects/WSL/wsl/modeling/seg_heads/).
     with_seg: bool = False
+    # Keypoint R-CNN branch on the supervised FastRCNN path (reference
+    # roi_heads.py:_forward_keypoint + keypoint_head.py).
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_pooler_resolution: int = 14
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -82,6 +87,12 @@ class GeneralizedRCNNWSL(nn.Module):
                 num_classes=self.num_classes,
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
                 dtype=self.dtype, name="box_predictor")
+        if self.head_type == "FastRCNN" and self.keypoint_on:
+            from .heads.keypoint import KRCNNConvDeconvUpsampleHead
+
+            self.keypoint_head = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=self.num_keypoints, dtype=self.dtype,
+                name="keypoint_head")
         if self.head_type == "CascadeRCNN":
             # per-stage box head + class-agnostic predictor (reference
             # cascade_rcnn.py builds K heads; box head = 2xFC 1024)
@@ -323,14 +334,57 @@ class GeneralizedRCNNWSL(nn.Module):
             lambda cl, d, p, s: fast_rcnn_lib.fast_rcnn_losses(
                 cl, d, p, s, self.num_classes, tuple(self.reg_weights))
         )(cls_logits, deltas, batch.proposals, sampled)
-        return {"loss_cls": jnp.mean(loss_cls),
-                "loss_box_reg": jnp.mean(loss_box)}
+        losses = {"loss_cls": jnp.mean(loss_cls),
+                  "loss_box_reg": jnp.mean(loss_box)}
 
-    def _pool_raw(self, feats, boxes, mask, *, train: bool):
+        if self.keypoint_on and batch.gt_keypoints is not None:
+            from ..ops.matcher import match
+            from .heads.keypoint import (keypoint_rcnn_loss,
+                                         keypoints_to_heatmap_targets)
+
+            B, S = sel_boxes.shape[:2]
+            kr = self.keypoint_pooler_resolution
+            kpooled = self._pool_raw(feats, sel_boxes, sampled.valid,
+                                     train=train, resolution=kr)
+            kp_logits = self.keypoint_head(
+                kpooled.reshape(B * S, kr, kr, -1))      # (BS, 4kr, 4kr, K)
+            hs = kp_logits.shape[1]
+            midx = jax.vmap(
+                lambda gb, gv, bx: match(
+                    box_ops.pairwise_iou(gb, bx), gv, [0.5], [0, 1])[0]
+            )(batch.gt_boxes, batch.gt_valid, sel_boxes)  # (B, S)
+            kp = jnp.take_along_axis(
+                batch.gt_keypoints, midx[..., None, None], axis=1)
+            tgt, kvalid = jax.vmap(
+                lambda k, b: keypoints_to_heatmap_targets(k, b, hs)
+            )(kp, sel_boxes)
+            fg = ((sampled.gt_class >= 0) & sampled.valid)
+            kvalid = kvalid & fg[..., None]
+            losses["loss_keypoint"] = keypoint_rcnn_loss(
+                kp_logits, tgt.reshape(B * S, -1),
+                kvalid.reshape(B * S, -1))
+        return losses
+
+    def predict_keypoints(self, batch, boxes: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, 4) boxes -> (B, D, K, 3) decoded keypoints (reference
+        keypoint_rcnn_inference)."""
+        from .heads.keypoint import heatmaps_to_keypoints
+
+        feats = self.features(batch.image)
+        kr = self.keypoint_pooler_resolution
+        B, D = boxes.shape[:2]
+        pooled = self._pool_raw(feats, boxes, jnp.ones((B, D), bool),
+                                train=False, resolution=kr)
+        logits = self.keypoint_head(pooled.reshape(B * D, kr, kr, -1))
+        kps = heatmaps_to_keypoints(logits, boxes.reshape(B * D, 4))
+        return kps.reshape(B, D, self.num_keypoints, 3)
+
+    def _pool_raw(self, feats, boxes, mask, *, train: bool,
+                  resolution: Optional[int] = None):
         """Pool (B, S, 4) boxes to (B, S, r*r*C) WITHOUT the DAN neck —
-        cascade stages have their own per-stage box heads."""
+        cascade stages / keypoint branch have their own heads."""
         scale = 1.0 / self.feature_stride
-        res = self.pooler_resolution
+        res = resolution or self.pooler_resolution
 
         if self.pyramid_strides is not None:
             from ..ops.poolers import multilevel_roi_pool

@@ -43,9 +43,10 @@ class WSODBatch:
     gt_boxes: Optional[jnp.ndarray] = None    # (B, G, 4)
     gt_classes: Optional[jnp.ndarray] = None  # (B, G) int32
     gt_valid: Optional[jnp.ndarray] = None    # (B, G) bool
-    # Dense GT for the supervised mask / panoptic paths (reference feeds
-    # these via Instances.gt_masks and the "sem_seg" input dict key).
+    # Dense GT for the supervised mask / keypoint / panoptic paths
+    # (reference: Instances.gt_masks/gt_keypoints + "sem_seg" input key).
     gt_masks: Optional[jnp.ndarray] = None    # (B, G, H, W) {0,1}
+    gt_keypoints: Optional[jnp.ndarray] = None  # (B, G, K, 3) x,y,vis
     sem_seg: Optional[jnp.ndarray] = None     # (B, H, W) int32, 255 = ignore
 
     @property
