@@ -219,6 +219,17 @@ class TestLoader:
                     img = s["image"]
                     canvas[:img.shape[0], :img.shape[1]] = img
                     s["image"] = canvas
+                    if "gt_masks" in s:
+                        m = np.zeros((s["gt_masks"].shape[0], bucket, bucket),
+                                     dtype=np.float32)
+                        old = s["gt_masks"]
+                        m[:, :old.shape[1], :old.shape[2]] = old
+                        s["gt_masks"] = m
+                    if "sem_seg" in s:
+                        sem = np.full((bucket, bucket), 255, dtype=np.int32)
+                        old = s["sem_seg"]
+                        sem[:old.shape[0], :old.shape[1]] = old
+                        s["sem_seg"] = sem
                     s["_bucket"] = bucket
             batch = _collate(samples)
             yield batch, n_real

@@ -53,6 +53,16 @@ class DatasetMapper:
         self.topk = (cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN if is_train
                      else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST)
         self.max_gt = cfg.DATASETS.MAX_GT_PER_IMAGE
+        # dense-GT branches (reference dataset_mapper.py use_instance_mask /
+        # use_keypoint / sem-seg handling)
+        self.mask_on = cfg.MODEL.MASK_ON
+        self.keypoint_on = cfg.MODEL.KEYPOINT_ON
+        self.num_keypoints = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS
+        self.sem_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
+        # left/right keypoint index swap under horizontal flips (reference
+        # detection_utils.create_keypoint_hflip_indices; identity when the
+        # dataset metadata defines no flip map)
+        self.keypoint_hflip_indices: Optional[np.ndarray] = None
 
         augs: List[T.Augmentation] = []
         if is_train:
@@ -139,7 +149,51 @@ class DatasetMapper:
             gt_classes[i] = a["category_id"]
             gt_valid[i] = True
 
+        out_extra: Dict[str, np.ndarray] = {}
+        if self.mask_on:
+            from PIL import ImageDraw
+
+            gt_masks = np.zeros((G, bucket, bucket), dtype=np.float32)
+            for i, a in enumerate(annos[:G]):
+                polys = a.get("segmentation") or []
+                if not polys:
+                    continue
+                m = Image.new("L", (bucket, bucket), 0)
+                draw = ImageDraw.Draw(m)
+                for poly in polys:
+                    pts = np.asarray(poly, np.float32).reshape(-1, 2)
+                    pts = tfms.apply_coords(pts)
+                    draw.polygon([tuple(p) for p in pts], fill=1)
+                gt_masks[i] = np.asarray(m, np.float32)
+            out_extra["gt_masks"] = gt_masks
+
+        if self.keypoint_on:
+            K = self.num_keypoints
+            gt_kpts = np.zeros((G, K, 3), dtype=np.float32)
+            flipped = any(isinstance(t, T.HFlipTransform)
+                          for t in tfms.transforms)
+            for i, a in enumerate(annos[:G]):
+                kp = np.asarray(a.get("keypoints", []),
+                                np.float32).reshape(-1, 3)[:K]
+                if not len(kp):
+                    continue
+                kp = kp.copy()
+                kp[:, :2] = tfms.apply_coords(kp[:, :2])
+                if flipped and self.keypoint_hflip_indices is not None:
+                    kp = kp[self.keypoint_hflip_indices[:len(kp)]]
+                gt_kpts[i, :len(kp)] = kp
+            out_extra["gt_keypoints"] = gt_kpts
+
+        if "sem_seg_file_name" in record:
+            sem = np.asarray(Image.open(record["sem_seg_file_name"]))
+            sem = tfms.apply_segmentation(sem)
+            sem_canvas = np.full((bucket, bucket), self.sem_ignore,
+                                 dtype=np.int32)
+            sem_canvas[:h, :w] = sem.astype(np.int32)
+            out_extra["sem_seg"] = sem_canvas
+
         return {
+            **out_extra,
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,

@@ -25,6 +25,12 @@ class Transform:
     def apply_image(self, img: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        """Label maps ride apply_image by default; transforms that
+        interpolate override with nearest (reference transform.py
+        register_type("segmentation"))."""
+        return self.apply_image(seg)
+
     def apply_coords(self, coords: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
@@ -72,6 +78,11 @@ class TransformList(Transform):
             coords = t.apply_coords(coords)
         return coords
 
+    def apply_segmentation(self, seg):
+        for t in self.transforms:
+            seg = t.apply_segmentation(seg)
+        return seg
+
     def inverse(self):
         return TransformList([t.inverse() for t in reversed(self.transforms)])
 
@@ -100,6 +111,13 @@ class ResizeTransform(Transform):
         coords[:, 0] *= self.new_w / self.w
         coords[:, 1] *= self.new_h / self.h
         return coords
+
+    def apply_segmentation(self, seg):
+        if seg.shape[:2] == (self.new_h, self.new_w):
+            return seg
+        pil = Image.fromarray(seg)
+        pil = pil.resize((self.new_w, self.new_h), Image.NEAREST)
+        return np.asarray(pil)
 
     def inverse(self):
         return ResizeTransform(self.new_h, self.new_w, self.h, self.w)

@@ -94,3 +94,59 @@ def test_test_loader_covers_all_once(tmp_path):
         ids = np.asarray(batch.image_id)[:n_real]
         seen.extend(ids.tolist())
     assert sorted(seen) == list(range(5))
+
+
+def test_mapper_dense_gt(tmp_path):
+    """MASK_ON/KEYPOINT_ON/sem_seg_file_name produce padded dense GT
+    (reference dataset_mapper.py use_instance_mask / use_keypoint)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from drn_wsod_tpu.config import get_cfg
+    from drn_wsod_tpu.data.mapper import DatasetMapper
+
+    img_path = str(tmp_path / "img.png")
+    PILImage.fromarray(np.zeros((48, 64, 3), np.uint8)).save(img_path)
+    sem_path = str(tmp_path / "sem.png")
+    sem = np.zeros((48, 64), np.uint8)
+    sem[:24] = 3
+    PILImage.fromarray(sem).save(sem_path)
+
+    cfg = get_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 4
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.INPUT.BUCKETS = [64]
+    record = {
+        "file_name": img_path,
+        "sem_seg_file_name": sem_path,
+        "height": 48, "width": 64, "image_id": 0,
+        "annotations": [{
+            "category_id": 1,
+            "bbox": [8, 8, 40, 40],
+            "bbox_mode": "XYXY_ABS",
+            "difficult": 0,
+            "segmentation": [[8, 8, 40, 8, 40, 40, 8, 40]],
+            "keypoints": [10, 10, 2, 20, 20, 2, 30, 30, 2, 0, 0, 0],
+        }],
+    }
+    mapper = DatasetMapper(cfg, is_train=False)
+    out = mapper(record, np.random.RandomState(0))
+
+    masks = out["gt_masks"]
+    assert masks.shape[1:] == (64, 64)
+    # polygon interior rasterized for the first GT slot
+    assert masks[0, 20, 20] == 1.0 and masks[0, 50, 50] == 0.0
+    assert masks[1].sum() == 0
+
+    kps = out["gt_keypoints"]
+    assert kps.shape == (masks.shape[0], 4, 3)
+    np.testing.assert_allclose(kps[0, 0], [10, 10, 2])
+    assert kps[0, 3, 2] == 0          # invisible slot
+
+    sem_out = out["sem_seg"]
+    assert sem_out.shape == (64, 64)
+    assert sem_out[10, 10] == 3 and sem_out[40, 10] == 0
+    assert sem_out[60, 60] == 255     # padding is ignore
