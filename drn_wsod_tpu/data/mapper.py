@@ -24,8 +24,16 @@ logger = logging.getLogger(__name__)
 
 
 def read_image(path: str, fmt: str = "BGR") -> np.ndarray:
-    img = Image.open(path).convert("RGB")
-    arr = np.asarray(img)
+    arr = None
+    if path.lower().endswith((".jpg", ".jpeg")):
+        # native libjpeg fast path (bit-exact vs PIL's decode; falls back
+        # below when the native lib is unavailable or the file is broken)
+        from ..native import jpeg_decode
+
+        with open(path, "rb") as f:
+            arr = jpeg_decode(f.read())
+    if arr is None:
+        arr = np.asarray(Image.open(path).convert("RGB"))
     if fmt == "BGR":
         arr = arr[:, :, ::-1]
     return np.ascontiguousarray(arr)

@@ -114,3 +114,65 @@ def coco_match(det_boxes: np.ndarray, gt_boxes: np.ndarray,
                    np.ascontiguousarray(gt_ignore, np.uint8), G,
                    np.ascontiguousarray(iou_thrs, np.float64), T, tp, ign)
     return tp, ign
+
+
+# ---------------------------------------------------------------- JPEG decode
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_tried = False
+_JPEG_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libjpeg_decode.so")
+
+
+def _load_jpeg() -> Optional[ctypes.CDLL]:
+    global _jpeg_lib, _jpeg_tried
+    if _jpeg_lib is not None or _jpeg_tried:
+        return _jpeg_lib
+    _jpeg_tried = True
+    if not os.path.exists(_JPEG_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            logger.warning(f"native jpeg decoder unavailable ({e})")
+            return None
+    try:
+        lib = ctypes.CDLL(_JPEG_LIB_PATH)
+    except OSError as e:
+        logger.warning(f"failed to load {_JPEG_LIB_PATH}: {e}")
+        return None
+    lib.jpeg_decode_info.argtypes = [
+        _u8p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.jpeg_decode.argtypes = [
+        _u8p, ctypes.c_size_t, ctypes.c_int, _u8p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    _jpeg_lib = lib
+    return lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def jpeg_decode(data: bytes, scale_num: int = 8) -> Optional[np.ndarray]:
+    """Decode JPEG bytes -> (H, W, 3) RGB uint8, optionally prescaled to
+    scale_num/8 of the native size in the DCT domain (native/jpeg_decode.cpp).
+    Returns None on failure (caller falls back to PIL)."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_decode_info(buf, len(data), ctypes.byref(w),
+                            ctypes.byref(h)) != 0:
+        return None
+    ow = -(-w.value * scale_num // 8)
+    oh = -(-h.value * scale_num // 8)
+    out = np.empty((oh + 1, ow + 1, 3), np.uint8)   # +1 slack for rounding
+    rw, rh = ctypes.c_int(), ctypes.c_int()
+    rc = lib.jpeg_decode(buf, len(data), scale_num, out.reshape(-1),
+                         out.nbytes, ctypes.byref(rw), ctypes.byref(rh))
+    if rc != 0:
+        return None
+    return np.ascontiguousarray(
+        out.reshape(-1)[:rh.value * rw.value * 3].reshape(
+            rh.value, rw.value, 3))

@@ -90,3 +90,40 @@ def test_native_coco_match_parity():
                                     gt_ignore.astype(np.uint8), IOU_THRS)
     np.testing.assert_array_equal(tp_py, tp_c.astype(bool))
     np.testing.assert_array_equal(ign_py, ign_c.astype(bool))
+
+
+def test_jpeg_decode_bit_exact_vs_pil(tmp_path):
+    """Native libjpeg decoder (native/jpeg_decode.cpp) matches PIL exactly
+    and the mapper's read_image uses it transparently."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from drn_wsod_tpu.native import jpeg_available, jpeg_decode
+    from drn_wsod_tpu.data.mapper import read_image
+
+    if not jpeg_available():
+        import pytest
+        pytest.skip("native jpeg decoder unavailable")
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92)
+    data = buf.getvalue()
+
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    got = jpeg_decode(data)
+    np.testing.assert_array_equal(got, ref)
+
+    # DCT-domain half-scale decode
+    half = jpeg_decode(data, scale_num=4)
+    assert half.shape == ((37 + 1) // 2, (53 + 1) // 2, 3)
+
+    p = tmp_path / "img.jpg"
+    p.write_bytes(data)
+    arr = read_image(str(p), "RGB")
+    np.testing.assert_array_equal(arr, ref)
+    arr_bgr = read_image(str(p), "BGR")
+    np.testing.assert_array_equal(arr_bgr, ref[:, :, ::-1])
