@@ -128,6 +128,18 @@ class GeneralizedRCNNWSL(nn.Module):
             ]
 
     # ------------------------------------------------------------------ parts
+    @staticmethod
+    def sanitize(batch):
+        """Zero the padded proposal slots. Padding content is arbitrary
+        (NaN/inf from donated buffers or poisoned loaders) and multiplying
+        by the mask does NOT neutralize it (inf * 0 = NaN) — select does
+        (reference analog: tests/modeling/test_model_e2e.py's inf/nan
+        robustness contract)."""
+        return batch.replace(
+            proposals=jnp.where(batch.proposal_mask[..., None],
+                                batch.proposals, 0.0),
+            objectness=jnp.where(batch.proposal_mask, batch.objectness, 0.0))
+
     def preprocess(self, image: jnp.ndarray) -> jnp.ndarray:
         """Normalize padded pixels (reference rcnn.py:242-249)."""
         mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
@@ -222,6 +234,7 @@ class GeneralizedRCNNWSL(nn.Module):
         """WSDDN per-proposal scores (B, P, C) — the differentiable-in-image
         quantity CSC backprops to get class-peak-gradient maps (reference
         roi_heads_csc.py:423-474). Dropout off for a deterministic CPG pass."""
+        batch = self.sanitize(batch)
         feats = self.features(batch.image)
         box_feats = self.pooled_features(
             feats, batch.proposals, batch.proposal_mask, batch.objectness,
@@ -240,6 +253,7 @@ class GeneralizedRCNNWSL(nn.Module):
         cpg: optional (B, C, H, W) class-peak-gradient maps; with
         ``with_seg`` they supervise the semantic branch (WSJDS).
         """
+        batch = self.sanitize(batch)
         feats = self.features(batch.image)
 
         seg_losses = {}
@@ -497,6 +511,7 @@ class GeneralizedRCNNWSL(nn.Module):
             refinement branch regresses boxes (reference
             roi_heads_oicr.py:407-421).
         """
+        batch = self.sanitize(batch)
         feats = self.features(batch.image)
         if self.head_type == "CascadeRCNN":
             return self._cascade_inference(feats, batch)
