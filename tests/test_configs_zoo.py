@@ -27,8 +27,16 @@ def test_config_merges_and_builds(path):
     cfg = get_cfg()
     cfg.merge_from_file(path)
     model = build_model(cfg)
-    assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
-    if model.pyramid_strides is None:
-        assert model.feature_stride in (8, 16)
+    arch = cfg.MODEL.META_ARCHITECTURE
+    if arch == "RetinaNet":
+        assert model.num_classes == cfg.MODEL.RETINANET.NUM_CLASSES
+        assert len(model.in_features) == len(model.anchor_sizes)
+    elif arch == "PanopticFPN":
+        assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        assert model.sem_num_classes == cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     else:
-        assert len(model.pyramid_strides) > 1
+        assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        if model.pyramid_strides is None:
+            assert model.feature_stride in (8, 16)
+        else:
+            assert len(model.pyramid_strides) > 1
