@@ -131,7 +131,8 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
 
 
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
-                 hbm_tables=False, int8_mode=False):
+                 hbm_tables=False, int8_mode=False,
+                 fuse_table_build=False, H=0):
     """Masked-16-window formulation with per-ROI tiers (module docstring).
 
     ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
@@ -150,6 +151,13 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
     per-channel scale. int8 packs 4 elements per 32-bit lane vs bf16's 2,
     halving the vector-issue cost of the loads/masks/maxes that dominate
     the kernel.
+
+    ``fuse_table_build``: the input is the RAW padded (H, W8, C) feature
+    map; the y-RMQ level stack is built into a single-buffered VMEM scratch
+    at each channel pass's first grid step with Ky-1 whole-level sliced
+    maxes (~10us of vector work). This removes the XLA-side build_y_tables
+    program (~3ms/step at DC5 scale) and shrinks the kernel's HBM read from
+    the Ky-replicated stack to the raw map.
     """
 
     def kernel(*refs):
@@ -161,7 +169,28 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref,
              feat_hbm_or_vmem, out_ref) = refs[:7]
             scratch = refs[7:]
-        if hbm_tables:
+        if fuse_table_build:
+            tab_ref, feat_ref = scratch       # feat_ref: level-stack scratch
+            raw_ref = feat_hbm_or_vmem        # (H, W8, CT) block
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                # level 0 = raw rows; level k rows y<H-d are
+                # max(prev[y], prev[y+d]), the tail keeps prev (same
+                # recurrence as ops/roi_align.build_y_tables)
+                feat_ref[0:H] = raw_ref[...]
+                Ky = feat_ref.shape[0] // H
+                for k in range(1, Ky):
+                    d = 1 << (k - 1)
+                    lo = (k - 1) * H
+                    if d >= H:
+                        feat_ref[k * H:(k + 1) * H] = feat_ref[lo:lo + H]
+                        continue
+                    feat_ref[k * H:k * H + H - d] = jnp.maximum(
+                        feat_ref[lo:lo + H - d], feat_ref[lo + d:lo + H])
+                    feat_ref[k * H + H - d:(k + 1) * H] = \
+                        feat_ref[lo + H - d:lo + H]
+        elif hbm_tables:
             tab_ref, feat_ref, copy_sem = scratch
             cidx = pl.program_id(0)
 
@@ -315,19 +344,24 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     table_dtype = jnp.int8 if quantize_int8 else features.dtype
     itemsize = jnp.dtype(table_dtype).itemsize
 
-    def footprint(ct, hbm):
+    def footprint(ct, mode):
         table = Ky * H * W8 * ct * itemsize
+        raw = H * W8 * ct * itemsize
         masks = n_masks * LX * ct * itemsize
         out_blk = 2 * RB * R * R * ct * itemsize
-        return (1 if hbm else 2) * table + masks + out_blk
+        if mode == "fused":               # 2x raw block + 1x table scratch
+            return table + 2 * raw + masks + out_blk
+        return (1 if mode == "hbm" else 2) * table + masks + out_blk
 
     CT = min(c_tile, C)
     while C % CT != 0:
         CT //= 2
-    # shrink until SOME layout fits, then prefer the pipelined block path
-    while CT > 128 and footprint(CT, hbm=True) > _VMEM_BUDGET:
+    # shrink until SOME layout fits; prefer the fused in-kernel table build
+    while CT > 128 and footprint(CT, "hbm") > _VMEM_BUDGET:
         CT //= 2
-    hbm_tables = footprint(CT, hbm=False) > _VMEM_BUDGET
+    fuse_table_build = footprint(CT, "fused") <= _VMEM_BUDGET
+    hbm_tables = (not fuse_table_build
+                  and footprint(CT, "block") > _VMEM_BUDGET)
 
     ys, x8, mi, tier, valid = _kernel_positions(boxes, spatial_scale, H, W, R)
     if roi_scale is None:
@@ -343,14 +377,17 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         # int8 space (monotone map); dequantized in the kernel epilogue
         absmax = jnp.max(jnp.abs(features.astype(jnp.float32)), axis=(0, 1))
         ch_scale = (jnp.maximum(absmax, 1e-6) / 127.0)            # (C,)
-        qfeat = jnp.clip(
+        src = jnp.clip(
             jnp.round(features.astype(jnp.float32) / ch_scale),
             -127, 127).astype(jnp.int8)
-        tables = build_y_tables(qfeat, Ky, pad_w=W8 - W)
         chs = ch_scale.reshape(1, C)
     else:
-        tables = build_y_tables(features, Ky, pad_w=W8 - W)  # (Ky*H, W8, C)
+        src = features
         chs = None
+    if fuse_table_build:
+        tables = jnp.pad(src, ((0, 0), (0, W8 - W), (0, 0)))  # raw (H,W8,C)
+    else:
+        tables = build_y_tables(src, Ky, pad_w=W8 - W)   # (Ky*H, W8, C)
 
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (C // CT, P // RB)
@@ -370,7 +407,11 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         smem_specs.append(pl.BlockSpec((1, CT), lambda c, r: (0, c),
                                        memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((n_masks, LX, CT), table_dtype)]
-    if hbm_tables:
+    if fuse_table_build:
+        feat_spec = pl.BlockSpec((H, W8, CT), lambda c, r: (0, 0, c),
+                                 memory_space=pltpu.VMEM)
+        scratch += [pltpu.VMEM((Ky * H, W8, CT), table_dtype)]
+    elif hbm_tables:
         feat_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch += [pltpu.VMEM((Ky * H, W8, CT), table_dtype),
                     pltpu.SemaphoreType.DMA]
@@ -384,7 +425,8 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     out = pl.pallas_call(
         _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
                      unroll_rois=unroll_rois, hbm_tables=hbm_tables,
-                     int8_mode=quantize_int8),
+                     int8_mode=quantize_int8,
+                     fuse_table_build=fuse_table_build, H=H),
         grid=grid,
         in_specs=smem_specs + [feat_spec],
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),
