@@ -133,3 +133,101 @@ def select_proposals(anchors: jnp.ndarray, obj_logits: jnp.ndarray,
     final_scores, fi = jax.lax.top_k(kept_scores, k2)
     valid = jnp.isfinite(final_scores)
     return top_boxes[fi], jnp.where(valid, final_scores, 0.0), valid
+
+
+def generate_rotated_anchors(feature_hw: Tuple[int, int], stride: int,
+                             sizes: Sequence[float],
+                             aspect_ratios: Sequence[float],
+                             angles: Sequence[float]) -> jnp.ndarray:
+    """Dense rotated anchor grid -> (Hf*Wf*A, 5) (cx, cy, w, h, deg)
+    (reference RotatedAnchorGenerator, anchor_generator.py:227-330)."""
+    cell = []
+    for size in sizes:
+        area = float(size) ** 2
+        for ar in aspect_ratios:
+            w = (area / ar) ** 0.5
+            h = ar * w
+            for a in angles:
+                cell.append([0.0, 0.0, w, h, float(a)])
+    cell_anchors = jnp.asarray(cell, dtype=jnp.float32)       # (A, 5)
+
+    Hf, Wf = feature_hw
+    shifts_x = (jnp.arange(Wf, dtype=jnp.float32) + 0.5) * stride
+    shifts_y = (jnp.arange(Hf, dtype=jnp.float32) + 0.5) * stride
+    sy, sx = jnp.meshgrid(shifts_y, shifts_x, indexing="ij")
+    zeros = jnp.zeros_like(sx)
+    shifts = jnp.stack([sx, sy, zeros, zeros, zeros],
+                       axis=-1).reshape(-1, 1, 5)
+    return (shifts + cell_anchors[None]).reshape(-1, 5)
+
+
+def rrpn_losses(anchors: jnp.ndarray, obj_logits: jnp.ndarray,
+                pred_deltas: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_valid: jnp.ndarray, rng: jax.Array,
+                batch_size: int = 256, positive_fraction: float = 0.5,
+                iou_thresholds=(0.3, 0.7), iou_labels=(0, -1, 1),
+                reg_weights=(1.0, 1.0, 1.0, 1.0, 1.0)):
+    """Rotated RPN losses (reference proposal_generator/rrpn.py: same
+    sampling/objective as RPN with rotated IoU matching and 5-param
+    box deltas). anchors (N, 5); gt_boxes (G, 5)."""
+    from ..structures.rotated_boxes import (get_deltas_rotated,
+                                            pairwise_iou_rotated)
+
+    N = anchors.shape[0]
+    quality = pairwise_iou_rotated(gt_boxes, anchors)
+    midx, mlab = match(quality, gt_valid, list(iou_thresholds),
+                       list(iou_labels), allow_low_quality=True)
+
+    num_pos = int(batch_size * positive_fraction)
+    k1, k2 = jax.random.split(rng)
+    pos_keys = jnp.where(mlab == 1, jax.random.uniform(k1, (N,)), -1.0)
+    neg_keys = jnp.where(mlab == 0, jax.random.uniform(k2, (N,)), -1.0)
+    pv, pi = jax.lax.top_k(pos_keys, num_pos)
+    nv, ni = jax.lax.top_k(neg_keys, batch_size - num_pos)
+    sel = jnp.concatenate([pi, ni])
+    sel_valid = jnp.concatenate([pv >= 0, nv >= 0])
+    sel_pos = jnp.concatenate([pv >= 0, jnp.zeros_like(nv, dtype=bool)])
+
+    logits = obj_logits[sel]
+    bce = jnp.where(sel_pos, -jax.nn.log_sigmoid(logits),
+                    -jax.nn.log_sigmoid(-logits))
+    bce = jnp.where(sel_valid, bce, 0.0)
+    denom = jnp.maximum(sel_valid.sum(), 1)
+    loss_obj = jnp.sum(bce) / denom
+
+    gt_for = gt_boxes[midx[sel]]
+    tgt = get_deltas_rotated(anchors[sel], gt_for, reg_weights)
+    diff = jnp.abs(pred_deltas[sel] - tgt)
+    diff = jnp.where((sel_pos & sel_valid)[:, None], diff, 0.0)
+    loss_loc = jnp.sum(diff) / denom
+    return loss_obj, loss_loc
+
+
+def select_proposals_rotated(anchors: jnp.ndarray, obj_logits: jnp.ndarray,
+                             pred_deltas: jnp.ndarray, image_hw,
+                             pre_nms_topk: int = 2000,
+                             post_nms_topk: int = 1000,
+                             nms_thresh: float = 0.7,
+                             reg_weights=(1.0, 1.0, 1.0, 1.0, 1.0)):
+    """Rotated analog of select_proposals: decode + top-k + rotated NMS
+    (reference rrpn.py find_top_rrpn_proposals). Centers are clipped to
+    the image; boxes keep their extent/angle (reference clips the same
+    way via RotatedBoxes.clip)."""
+    from ..structures.rotated_boxes import (apply_deltas_rotated,
+                                            nms_rotated)
+
+    boxes = apply_deltas_rotated(pred_deltas, anchors, reg_weights)
+    h, w = image_hw[0], image_hw[1]
+    boxes = boxes.at[..., 0].set(jnp.clip(boxes[..., 0], 0, w))
+    boxes = boxes.at[..., 1].set(jnp.clip(boxes[..., 1], 0, h))
+    k = min(pre_nms_topk, boxes.shape[0])
+    top_scores, top_idx = jax.lax.top_k(obj_logits, k)
+    top_boxes = boxes[top_idx]
+    ok = (top_boxes[:, 2] > 0) & (top_boxes[:, 3] > 0) & \
+        jnp.isfinite(top_scores)
+    keep = nms_rotated(top_boxes, top_scores, ok, nms_thresh)
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    k2 = min(post_nms_topk, k)
+    final_scores, fi = jax.lax.top_k(kept_scores, k2)
+    valid = jnp.isfinite(final_scores)
+    return top_boxes[fi], jnp.where(valid, final_scores, 0.0), valid

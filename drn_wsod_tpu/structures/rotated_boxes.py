@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rotated_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -112,3 +113,43 @@ def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
 
     iou = pairwise_iou_rotated(boxes, boxes)
     return nms_mask(boxes[:, :4], scores, valid, iou_threshold, iou=iou)
+
+
+_DEFAULT_SCALE_CLAMP = float(np.log(1000.0 / 16))
+
+
+def get_deltas_rotated(src: jnp.ndarray, target: jnp.ndarray,
+                       weights=(1.0, 1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """(N, 5) cx,cy,w,h,deg -> (dx, dy, dw, dh, da) deltas (reference
+    Box2BoxTransformRotated.get_deltas, box_regression.py:139-175; box
+    angles are degrees, delta angles radians)."""
+    wx, wy, ww, wh, wa = weights
+    dx = wx * (target[:, 0] - src[:, 0]) / src[:, 2]
+    dy = wy * (target[:, 1] - src[:, 1]) / src[:, 3]
+    dw = ww * jnp.log(target[:, 2] / src[:, 2])
+    dh = wh * jnp.log(target[:, 3] / src[:, 3])
+    da = (target[:, 4] - src[:, 4] + 180.0) % 360.0 - 180.0
+    da = da * (wa * jnp.pi / 180.0)
+    return jnp.stack([dx, dy, dw, dh, da], axis=-1)
+
+
+def apply_deltas_rotated(deltas: jnp.ndarray, boxes: jnp.ndarray,
+                         weights=(1.0, 1.0, 1.0, 1.0, 1.0),
+                         scale_clamp: float = _DEFAULT_SCALE_CLAMP
+                         ) -> jnp.ndarray:
+    """Decode (..., K*5) deltas against (..., 5) boxes (reference
+    Box2BoxTransformRotated.apply_deltas, box_regression.py:177-220)."""
+    wx, wy, ww, wh, wa = weights
+    dx = deltas[..., 0::5] / wx
+    dy = deltas[..., 1::5] / wy
+    dw = jnp.minimum(deltas[..., 2::5] / ww, scale_clamp)
+    dh = jnp.minimum(deltas[..., 3::5] / wh, scale_clamp)
+    da = deltas[..., 4::5] / wa
+    cx = dx * boxes[..., 2:3] + boxes[..., 0:1]
+    cy = dy * boxes[..., 3:4] + boxes[..., 1:2]
+    w = jnp.exp(dw) * boxes[..., 2:3]
+    h = jnp.exp(dh) * boxes[..., 3:4]
+    ang = da * (180.0 / jnp.pi) + boxes[..., 4:5]
+    ang = (ang + 180.0) % 360.0 - 180.0
+    out = jnp.stack([cx, cy, w, h, ang], axis=-1)       # (..., K, 5)
+    return out.reshape(*deltas.shape[:-1], deltas.shape[-1])
