@@ -1,9 +1,10 @@
 from .evaluator import inference_on_dataset, make_detect_fn
+from .rotated_coco_eval import RotatedCOCODetectionEvaluator
 from .sem_seg_eval import SemSegEvaluator
 from .voc_eval import (PascalVOCDetectionEvaluator, voc_ap, voc_eval_class,
                        voc_eval_corloc_class)
 
 __all__ = [
     "inference_on_dataset", "make_detect_fn", "PascalVOCDetectionEvaluator",
-    "SemSegEvaluator", "voc_ap", "voc_eval_class", "voc_eval_corloc_class",
+    "RotatedCOCODetectionEvaluator", "SemSegEvaluator", "voc_ap", "voc_eval_class", "voc_eval_corloc_class",
 ]

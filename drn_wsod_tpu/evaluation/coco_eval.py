@@ -43,14 +43,14 @@ def _iou_matrix(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
 
 
 def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, iou_thrs,
-                 max_det):
+                 max_det, iou_fn=None):
     """Greedy per-image matching. Returns (tp (T, D), ignore_det (T, D),
     scores (D,)) for the top max_det detections."""
     order = np.argsort(-det_scores, kind="stable")[:max_det]
     det_boxes = det_boxes[order]
     det_scores = det_scores[order]
     D, G, T = len(det_boxes), len(gt_boxes), len(iou_thrs)
-    ious = _iou_matrix(det_boxes, gt_boxes)
+    ious = (iou_fn or _iou_matrix)(det_boxes, gt_boxes)
     tp = np.zeros((T, D), dtype=bool)
     ign = np.zeros((T, D), dtype=bool)
     for t, thr in enumerate(iou_thrs):
@@ -132,9 +132,18 @@ class COCODetectionEvaluator:
                 for img, d in per.items():
                     self._dets[int(c)][img].extend(d)
 
+    # geometry hooks (overridden by the rotated variant)
+    _box_dim = 4
+    _iou_fn = staticmethod(_iou_matrix)
+
+    @staticmethod
+    def _box_areas(boxes: np.ndarray) -> np.ndarray:
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         per_class_ap = {}     # cls -> (T, A) AP array
         results = {}
+        BD = self._box_dim
         for area_name, (lo, hi) in AREA_RANGES.items():
             ap_list = []
             for cls_id, _ in enumerate(self._class_names):
@@ -143,9 +152,8 @@ class COCODetectionEvaluator:
                 for image_id, annos in self._gt.items():
                     gt = [a for a in annos if a["category_id"] == cls_id]
                     gt_boxes = np.array([a["bbox"] for a in gt],
-                                        dtype=np.float64).reshape(-1, 4)
-                    areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
-                             * (gt_boxes[:, 3] - gt_boxes[:, 1]))
+                                        dtype=np.float64).reshape(-1, BD)
+                    areas = self._box_areas(gt_boxes)
                     gt_ignore = np.array(
                         [bool(a.get("difficult", 0)) for a in gt],
                         dtype=bool) | (areas < lo) | (areas >= hi)
@@ -153,11 +161,12 @@ class COCODetectionEvaluator:
                     d = self._dets[cls_id].get(image_id, [])
                     if not d and len(gt) == 0:
                         continue
-                    d = np.array(d, dtype=np.float64).reshape(-1, 5)
+                    d = np.array(d, dtype=np.float64).reshape(-1, 1 + BD)
                     tp, ign, s = _match_image(
-                        d[:, 1:], d[:, 0], gt_boxes, gt_ignore, IOU_THRS, 100)
+                        d[:, 1:], d[:, 0], gt_boxes, gt_ignore, IOU_THRS,
+                        100, self._iou_fn)
                     # detections outside the area range are ignored too
-                    d_areas = (d[:, 3] - d[:, 1]) * (d[:, 4] - d[:, 2])
+                    d_areas = self._box_areas(d[:, 1:])
                     oob = ((d_areas < lo) | (d_areas >= hi))[
                         np.argsort(-d[:, 0], kind="stable")[:100]]
                     ign = ign | (oob[None, :] & ~tp)
