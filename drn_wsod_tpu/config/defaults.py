@@ -30,6 +30,8 @@ def get_cfg() -> CfgNode:
     _C.MODEL.ROI_KEYPOINT_HEAD = CfgNode()
     _C.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17
     _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_MASK_HEAD = CfgNode()
+    _C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
     _C.MODEL.LOAD_PROPOSALS = True
     # Caffe2-era BGR means; must match reference for weight-import parity
     # (reference: projects/WSL/configs/PascalVOC-Detection/oicr_WSR_50_DC5_1x.yaml).

@@ -45,15 +45,26 @@ def load_coco_json(json_file: str, image_root: str,
         }
         annos = []
         for a in anns_by_image.get(img["id"], []):
-            if a.get("iscrowd", 0):
-                continue
             x, y, w, h = a["bbox"]
-            annos.append({
+            anno = {
                 "category_id": id_map[a["category_id"]],
                 "bbox": [x, y, x + w, y + h],
                 "bbox_mode": "XYXY_ABS",
-                "difficult": 0,
-            })
+                # crowd regions are excluded from training (the mapper skips
+                # difficult annos) and ignored at evaluation, matching the
+                # reference COCOEvaluator's iscrowd handling
+                "difficult": int(a.get("iscrowd", 0)),
+                "iscrowd": int(a.get("iscrowd", 0)),
+            }
+            # dense-GT fields for the mask/keypoint branches and the
+            # segm/keypoints evaluator tasks
+            if "segmentation" in a:
+                anno["segmentation"] = a["segmentation"]
+            if "keypoints" in a:
+                anno["keypoints"] = a["keypoints"]
+            if "area" in a:
+                anno["area"] = a["area"]
+            annos.append(anno)
         record["annotations"] = annos
         dicts.append(record)
     return dicts
@@ -64,6 +75,73 @@ def register_coco_instances(name: str, json_file: str, image_root: str):
         name, lambda: load_coco_json(json_file, image_root, name))
     MetadataCatalog.get(name).set(
         json_file=json_file, image_root=image_root, evaluator_type="coco")
+
+
+def load_coco_panoptic_separated(panoptic_json: str, image_root: str,
+                                 panoptic_root: str, sem_seg_root: str,
+                                 instances_json: str,
+                                 dataset_name: Optional[str] = None
+                                 ) -> List[dict]:
+    """COCO panoptic in the "separated" flavor (reference
+    detectron2/data/datasets/coco_panoptic.py:register_coco_panoptic_separated):
+    instance annotations feed the thing branch, per-pixel PNGs in
+    ``sem_seg_root`` feed the stuff branch, and the panoptic id PNG +
+    segments_info feed PQ evaluation.
+
+    Category spaces: things are contiguous [0, n_thing); the sem-seg space
+    is 0 = special "thing" class, stuff l in [1, n_stuff); segments_info
+    category ids are converted to the combined PQ space
+    (thing c -> c, stuff l -> n_thing + l - 1), matching
+    evaluation.evaluator.panoptic_inference_on_dataset."""
+    records = load_coco_json(instances_json, image_root, dataset_name)
+    with open(panoptic_json) as f:
+        pan = json.load(f)
+    things = [c for c in pan.get("categories", []) if c.get("isthing")]
+    stuffs = [c for c in pan.get("categories", []) if not c.get("isthing")]
+    thing_map = {c["id"]: i for i, c in
+                 enumerate(sorted(things, key=lambda c: c["id"]))}
+    stuff_map = {c["id"]: i + 1 for i, c in
+                 enumerate(sorted(stuffs, key=lambda c: c["id"]))}
+    n_thing = len(thing_map)
+    if dataset_name is not None:
+        MetadataCatalog.get(dataset_name).set(
+            stuff_classes=["things"] + [
+                c["name"] for c in sorted(stuffs, key=lambda c: c["id"])],
+            stuff_dataset_id_to_contiguous_id=stuff_map)
+
+    by_image = {p["image_id"]: p for p in pan.get("annotations", [])}
+    for r in records:
+        p = by_image.get(r["image_id"])
+        if p is None:
+            continue
+        segments = []
+        for s in p.get("segments_info", []):
+            cid = s["category_id"]
+            if cid in thing_map:
+                cat, isthing = thing_map[cid], True
+            elif cid in stuff_map:
+                cat, isthing = n_thing + stuff_map[cid] - 1, False
+            else:
+                continue
+            segments.append({"id": s["id"], "category_id": cat,
+                             "isthing": isthing})
+        r["pan_seg_file_name"] = os.path.join(panoptic_root, p["file_name"])
+        r["segments_info"] = segments
+        r["sem_seg_file_name"] = os.path.join(sem_seg_root, p["file_name"])
+    return records
+
+
+def register_coco_panoptic_separated(name: str, image_root: str,
+                                     panoptic_root: str, panoptic_json: str,
+                                     sem_seg_root: str, instances_json: str):
+    DatasetCatalog.register(
+        name, lambda: load_coco_panoptic_separated(
+            panoptic_json, image_root, panoptic_root, sem_seg_root,
+            instances_json, name))
+    MetadataCatalog.get(name).set(
+        panoptic_json=panoptic_json, image_root=image_root,
+        panoptic_root=panoptic_root, sem_seg_root=sem_seg_root,
+        json_file=instances_json, evaluator_type="coco_panoptic_seg")
 
 
 # builtin COCO registrations (reference detectron2/data/datasets/builtin.py)
@@ -79,9 +157,27 @@ _BUILTIN_COCO = {
 }
 
 
+_BUILTIN_COCO_PANOPTIC = {
+    "coco_2017_train_panoptic_separated": (
+        "coco/train2017", "coco/panoptic_train2017",
+        "coco/annotations/panoptic_train2017.json",
+        "coco/panoptic_stuff_train2017",
+        "coco/annotations/instances_train2017.json"),
+    "coco_2017_val_panoptic_separated": (
+        "coco/val2017", "coco/panoptic_val2017",
+        "coco/annotations/panoptic_val2017.json",
+        "coco/panoptic_stuff_val2017",
+        "coco/annotations/instances_val2017.json"),
+}
+
+
 def register_all_coco(root: str = "datasets"):
     for name, (image_root, json_file) in _BUILTIN_COCO.items():
         if name not in DatasetCatalog:
             register_coco_instances(
                 name, os.path.join(root, json_file),
                 os.path.join(root, image_root))
+    for name, paths in _BUILTIN_COCO_PANOPTIC.items():
+        if name not in DatasetCatalog:
+            register_coco_panoptic_separated(
+                name, *[os.path.join(root, p) for p in paths])

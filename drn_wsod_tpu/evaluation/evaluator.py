@@ -25,10 +25,21 @@ logger = logging.getLogger(__name__)
 
 
 def make_detect_fn(model, score_thresh: float, nms_thresh: float,
-                   topk: int) -> Callable:
+                   topk: int, mask_on: bool = False,
+                   keypoint_on: bool = False) -> Callable:
     """Build a jitted (variables, batch) -> per-image detections function:
     inference scores -> per-class NMS -> topk -> rescale to original frame
-    (reference fast_rcnn_inference + detector_postprocess)."""
+    (reference fast_rcnn_inference + detector_postprocess).
+
+    With ``mask_on``/``keypoint_on``, the post-NMS detections additionally
+    carry per-detection box-relative mask probabilities ("mask_probs",
+    reference mask_rcnn_inference) and decoded keypoints in the ORIGINAL
+    image frame ("keypoints", reference keypoint_rcnn_inference)."""
+    mask_method = None
+    if mask_on:
+        mask_method = ("predict_masks"
+                       if hasattr(type(model), "predict_masks")
+                       else "mask_probs")
 
     @jax.jit
     def detect(variables, batch):
@@ -49,7 +60,21 @@ def make_detect_fn(model, score_thresh: float, nms_thresh: float,
         if mask is None or mask.shape[1] != scores.shape[1]:
             mask = jnp.ones(scores.shape[:2], bool)
         dets = jax.vmap(nms_one)(nms_boxes, fg_scores, mask)
-        dets["boxes"] = rescale_boxes(dets["boxes"], batch.image_hw,
+        img_boxes = dets["boxes"]          # resized-frame boxes
+        if mask_method is not None:
+            dets["mask_probs"] = model.apply(
+                variables, batch, img_boxes, dets["classes"],
+                method=mask_method)
+        if keypoint_on:
+            kps = model.apply(variables, batch, img_boxes,
+                              method="predict_keypoints")
+            sx = batch.orig_hw[:, 1] / jnp.maximum(batch.image_hw[:, 1], 1)
+            sy = batch.orig_hw[:, 0] / jnp.maximum(batch.image_hw[:, 0], 1)
+            dets["keypoints"] = jnp.stack(
+                [kps[..., 0] * sx[:, None, None],
+                 kps[..., 1] * sy[:, None, None],
+                 kps[..., 2]], axis=-1)
+        dets["boxes"] = rescale_boxes(img_boxes, batch.image_hw,
                                       batch.orig_hw)
         dets["all_scores"] = scores
         dets["all_boxes"] = boxes
@@ -64,6 +89,9 @@ def inference_on_dataset(detect_fn: Callable, variables, loader,
 
     ``records`` is the loader's dataset list (for image_id lookup).
     """
+    import inspect
+
+    accepted = set(inspect.signature(evaluator.process_single).parameters)
     evaluator.reset()
     total_images = 0
     total_time = 0.0
@@ -72,10 +100,11 @@ def inference_on_dataset(detect_fn: Callable, variables, loader,
     for batch, n_real in loader:
         t0 = time.perf_counter()
         dets = detect_fn(variables, batch)
+        keys = ["boxes", "scores", "classes", "valid"]
+        keys += [k for k in ("mask_probs", "keypoints") if k in dets]
         # jax.block_until_ready does not synchronize on the axon platform:
         # the value-dependent device_get below is the timing fence.
-        host = jax.device_get(
-            {k: dets[k] for k in ("boxes", "scores", "classes", "valid")})
+        host = jax.device_get({k: dets[k] for k in keys})
         dt = time.perf_counter() - t0
         n_batches += 1
         if n_batches > warmup:
@@ -84,9 +113,19 @@ def inference_on_dataset(detect_fn: Callable, variables, loader,
         ids = np.asarray(jax.device_get(batch.image_id))
         for i in range(n_real):
             record = records[int(ids[i])]
+            kwargs = {}
+            if "mask_probs" in host and "masks" in accepted:
+                from ..ops.mask_ops import paste_masks_in_image
+
+                kwargs["masks"] = paste_masks_in_image(
+                    np.asarray(host["mask_probs"][i], np.float32),
+                    np.asarray(host["boxes"][i]),
+                    (record["height"], record["width"]))
+            if "keypoints" in host and "keypoints" in accepted:
+                kwargs["keypoints"] = np.asarray(host["keypoints"][i])
             evaluator.process_single(
                 str(record["image_id"]), host["boxes"][i], host["scores"][i],
-                host["classes"][i], host["valid"][i])
+                host["classes"][i], host["valid"][i], **kwargs)
 
     if total_images:
         logger.info(
@@ -109,3 +148,117 @@ def gather_and_evaluate(evaluator) -> Dict:
         evaluator.reset()
         evaluator.merge_states(states)
     return evaluator.evaluate()
+
+
+# --------------------------------------------------------------- dense eval
+def make_sem_seg_fn(model) -> Callable:
+    """Jitted (variables, batch) -> (B, H, W) int32 per-pixel class map at
+    canvas resolution (reference SemanticSegmentor inference /
+    sem_seg_postprocess)."""
+
+    @jax.jit
+    def sem(variables, batch):
+        logits = model.apply(variables, batch, method="semantic_logits")
+        B, Hf, Wf, C = logits.shape
+        H, W = batch.image.shape[1:3]
+        up = jax.image.resize(logits.astype(jnp.float32), (B, H, W, C),
+                              "bilinear")
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    return sem
+
+
+def _resize_nearest(labels: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = labels.shape
+    if (h, w) == (oh, ow):
+        return labels
+    yi = np.minimum((np.arange(oh) * h) // max(oh, 1), h - 1)
+    xi = np.minimum((np.arange(ow) * w) // max(ow, 1), w - 1)
+    return labels[np.ix_(yi, xi)]
+
+
+def sem_seg_inference_on_dataset(sem_fn: Callable, variables, loader,
+                                 evaluator, records) -> Dict:
+    """Semantic-segmentation eval loop: per-pixel argmax cropped to the
+    valid canvas, NN-resized to the original resolution, compared against
+    the GT label map from ``sem_seg_file_name`` (reference SemSegEvaluator
+    process loop)."""
+    from PIL import Image
+
+    evaluator.reset()
+    for batch, n_real in loader:
+        pred = np.asarray(jax.device_get(sem_fn(variables, batch)))
+        ids = np.asarray(jax.device_get(batch.image_id))
+        hw = np.asarray(jax.device_get(batch.image_hw))
+        for i in range(n_real):
+            record = records[int(ids[i])]
+            h, w = int(hw[i, 0]), int(hw[i, 1])
+            oh, ow = int(record["height"]), int(record["width"])
+            p = _resize_nearest(pred[i, :h, :w], oh, ow)
+            gt = np.asarray(Image.open(record["sem_seg_file_name"]),
+                            np.int32)
+            evaluator.process_single(p, gt)
+    return gather_and_evaluate(evaluator)
+
+
+def decode_panoptic_png(path: str) -> np.ndarray:
+    """COCO panoptic PNG -> (H, W) int32 segment-id map
+    (id = R + 256*G + 256^2*B, panopticapi rgb2id)."""
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(path).convert("RGB"), np.int64)
+    return (rgb[..., 0] + 256 * rgb[..., 1]
+            + 256 * 256 * rgb[..., 2]).astype(np.int32)
+
+
+def panoptic_inference_on_dataset(
+        detect_fn: Callable, sem_fn: Callable, variables, loader,
+        evaluator, records, num_thing_classes: int,
+        overlap_threshold: float = 0.5, stuff_area_limit: int = 4096,
+        conf_threshold: float = 0.5) -> Dict:
+    """Panoptic eval loop (reference COCOPanopticEvaluator + panopticapi):
+    detections + pasted masks + semantic map are fused host-side with
+    ``combine_semantic_and_instance_outputs`` at the original resolution;
+    PQ/SQ/RQ against the GT panoptic map from ``pan_seg_file_name`` +
+    ``segments_info``.
+
+    Category space: thing class c -> c; semantic stuff label l (>0, 0 being
+    the special "thing" class) -> num_thing_classes + l - 1. GT
+    segments_info must use the same contiguous space (the dataset loaders
+    construct it so)."""
+    from ..ops.mask_ops import paste_masks_in_image
+    from .panoptic_eval import combine_semantic_and_instance_outputs
+
+    evaluator.reset()
+    for batch, n_real in loader:
+        dets = detect_fn(variables, batch)
+        host = jax.device_get({k: dets[k] for k in
+                               ("boxes", "scores", "classes", "valid",
+                                "mask_probs")})
+        sem = np.asarray(jax.device_get(sem_fn(variables, batch)))
+        ids = np.asarray(jax.device_get(batch.image_id))
+        hw = np.asarray(jax.device_get(batch.image_hw))
+        for i in range(n_real):
+            record = records[int(ids[i])]
+            oh, ow = int(record["height"]), int(record["width"])
+            h, w = int(hw[i, 0]), int(hw[i, 1])
+            valid = np.asarray(host["valid"][i], bool)
+            boxes = np.asarray(host["boxes"][i])[valid]
+            scores = np.asarray(host["scores"][i])[valid]
+            classes = np.asarray(host["classes"][i])[valid]
+            probs = np.asarray(host["mask_probs"][i], np.float32)[valid]
+            masks = paste_masks_in_image(probs, boxes, (oh, ow))
+            sem_full = _resize_nearest(sem[i, :h, :w], oh, ow)
+            pan, infos = combine_semantic_and_instance_outputs(
+                masks, scores, classes, sem_full,
+                overlap_threshold=overlap_threshold,
+                stuff_area_limit=stuff_area_limit,
+                instances_confidence_threshold=conf_threshold)
+            for s in infos:
+                if not s.get("isthing", False):
+                    s["category_id"] = (num_thing_classes
+                                        + s["category_id"] - 1)
+            gt_map = decode_panoptic_png(record["pan_seg_file_name"])
+            evaluator.process_single(pan, infos, gt_map,
+                                     record.get("segments_info", []))
+    return gather_and_evaluate(evaluator)

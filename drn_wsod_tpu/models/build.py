@@ -125,7 +125,9 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
-        with_seg=head_name == "WSJDSROIHeads" or cfg.MODEL.MASK_ON,
+        with_seg=head_name == "WSJDSROIHeads",
+        mask_on=cfg.MODEL.MASK_ON,
+        mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
         keypoint_on=cfg.MODEL.KEYPOINT_ON,
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
         keypoint_pooler_resolution=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
@@ -189,6 +191,28 @@ def _build_panoptic_fpn(cfg: CfgNode):
         instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
         sem_loss_weight=sem.LOSS_WEIGHT,
         reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,
+    )
+
+
+@META_ARCH_REGISTRY.register("SemanticSegmentor")
+def _build_semantic_segmentor(cfg: CfgNode):
+    from .semantic_seg import SemanticSegmentor
+
+    backbone, strides, _ = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
+    sem = cfg.MODEL.SEM_SEG_HEAD
+    sem_feats = tuple(sem.IN_FEATURES)
+    return SemanticSegmentor(
+        backbone=backbone,
+        sem_in_features=sem_feats,
+        sem_strides=tuple(int(strides[f]) for f in sem_feats),
+        num_classes=sem.NUM_CLASSES,
+        common_stride=sem.COMMON_STRIDE,
+        conv_dim=sem.CONVS_DIM,
+        loss_weight=sem.LOSS_WEIGHT,
+        ignore_value=sem.IGNORE_VALUE,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32,

@@ -74,6 +74,10 @@ class GeneralizedRCNNWSL(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_pooler_resolution: int = 14
+    # Mask R-CNN branch on the supervised FastRCNN / CascadeRCNN paths
+    # (reference StandardROIHeads._forward_mask + mask_head.py).
+    mask_on: bool = False
+    mask_pooler_resolution: int = 14
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -87,6 +91,12 @@ class GeneralizedRCNNWSL(nn.Module):
                 num_classes=self.num_classes,
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
                 dtype=self.dtype, name="box_predictor")
+        if self.head_type in ("FastRCNN", "CascadeRCNN") and self.mask_on:
+            from .heads.seg import MaskRCNNHead
+
+            self.mask_head = MaskRCNNHead(
+                num_classes=self.num_classes, dtype=self.dtype,
+                name="mask_head")
         if self.head_type == "FastRCNN" and self.keypoint_on:
             from .heads.keypoint import KRCNNConvDeconvUpsampleHead
 
@@ -377,7 +387,63 @@ class GeneralizedRCNNWSL(nn.Module):
             losses["loss_keypoint"] = keypoint_rcnn_loss(
                 kp_logits, tgt.reshape(B * S, -1),
                 kvalid.reshape(B * S, -1))
+
+        if self.mask_on and batch.gt_masks is not None:
+            losses["loss_mask"] = self._mask_branch_loss(
+                feats, sel_boxes, sampled, batch, train=train)
         return losses
+
+    def _mask_branch_loss(self, feats, boxes, sampled, batch, *, train):
+        """Mask R-CNN training branch over the sampled proposals (reference
+        detectron2/modeling/roi_heads/mask_head.py:mask_rcnn_loss): pool at
+        mask resolution, run the mask head, BCE on the matched class channel
+        against the matched GT mask cropped to the proposal box."""
+        from ..ops.matcher import match
+        from .heads.seg import mask_loss
+
+        B, S = boxes.shape[:2]
+        mr = self.mask_pooler_resolution
+        pooled = self._pool_raw(feats, boxes, sampled.valid, train=train,
+                                resolution=mr)
+        mlogits = self.mask_head(pooled.reshape(B * S, mr, mr, -1))
+        m_out = mlogits.shape[1]
+        midx = jax.vmap(
+            lambda gb, gv, bx: match(
+                box_ops.pairwise_iou(gb, bx), gv, [0.5], [0, 1])[0]
+        )(batch.gt_boxes, batch.gt_valid, boxes)           # (B, S)
+
+        def crop_one(masks, mi, bx):
+            def crop(i, b):
+                m = masks[i][..., None].astype(jnp.float32)
+                return roi_align(m, b[None], 1.0, resolution=m_out,
+                                 sampling_ratio=2, aligned=True)[0, :, :, 0]
+            return jax.vmap(crop)(mi, bx)
+
+        targets = jax.vmap(crop_one)(batch.gt_masks, midx, boxes)
+        fg = (sampled.gt_class >= 0) & sampled.valid
+        return mask_loss(
+            mlogits.reshape(B * S, m_out, m_out, -1),
+            sampled.gt_class.reshape(B * S),
+            (targets >= 0.5).astype(jnp.float32).reshape(B * S, m_out, m_out),
+            fg.reshape(B * S))
+
+    def predict_masks(self, batch, boxes: jnp.ndarray,
+                      classes: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, 4) boxes + (B, D) classes -> (B, D, 2mr, 2mr) mask
+        probabilities of the selected class (reference mask_rcnn_inference).
+        Boxes are in the (resized) image frame."""
+        feats = self.features(batch.image)
+        mr = self.mask_pooler_resolution
+        B, D = boxes.shape[:2]
+        pooled = self._pool_raw(feats, boxes, jnp.ones((B, D), bool),
+                                train=False, resolution=mr)
+        logits = self.mask_head(pooled.reshape(B * D, mr, mr, -1))
+        m_out = logits.shape[1]
+        logits = logits.reshape(B, D, m_out, m_out, -1)
+        cls = jnp.clip(classes, 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(
+            logits, cls[:, :, None, None, None], axis=-1)[..., 0]
+        return jax.nn.sigmoid(sel)
 
     def predict_keypoints(self, batch, boxes: jnp.ndarray) -> jnp.ndarray:
         """(B, D, 4) boxes -> (B, D, K, 3) decoded keypoints (reference
@@ -460,6 +526,7 @@ class GeneralizedRCNNWSL(nn.Module):
             batch.proposals, sampled.indices[..., None], axis=1)
         valid = sampled.valid
         S = boxes.shape[1]
+        boxes0 = boxes    # stage-0 sampled boxes feed the mask branch
 
         losses = {}
         for k in range(len(self.cascade_ious)):
@@ -484,6 +551,13 @@ class GeneralizedRCNNWSL(nn.Module):
             losses[f"loss_cls_stage{k}"] = jnp.mean(stage[0])
             losses[f"loss_box_reg_stage{k}"] = jnp.mean(stage[1])
             boxes = jax.vmap(box_ops.clip)(new_boxes, batch.image_hw)
+
+        if self.mask_on and batch.gt_masks is not None:
+            # reference CascadeROIHeads inherits _forward_mask from
+            # StandardROIHeads: the mask branch trains on the stage-0
+            # sampled proposals (roi_heads/cascade_rcnn.py)
+            losses["loss_mask"] = self._mask_branch_loss(
+                feats, boxes0, sampled, batch, train=train)
         return losses
 
     def _cascade_inference(self, feats, batch):

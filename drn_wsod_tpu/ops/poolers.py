@@ -41,9 +41,12 @@ def multilevel_roi_pool(features: Dict[str, jnp.ndarray],
 
     features: {"p2": (H2, W2, C), ...}. Returns (P, r, r, C).
     """
+    import math
+
     levels = sorted(level_names, key=lambda n: strides[n])
-    min_level = int(jnp.log2(strides[levels[0]]))
-    max_level = int(jnp.log2(strides[levels[-1]]))
+    # static python math: jnp on python ints becomes a tracer under jit
+    min_level = int(math.log2(strides[levels[0]]))
+    max_level = int(math.log2(strides[levels[-1]]))
     assignment = assign_boxes_to_levels(boxes, min_level, max_level)
 
     out = None

@@ -33,11 +33,16 @@ def test_load_coco_json(tmp_path):
     assert len(recs) == 1
     r = recs[0]
     assert r["height"] == 40 and r["width"] == 60
-    # crowd annotation dropped; xywh converted to xyxy; ids remapped
-    assert len(r["annotations"]) == 1
+    # crowd annotation kept but flagged difficult (excluded from training by
+    # the mapper, ignored at evaluation — reference COCOEvaluator iscrowd
+    # semantics); xywh converted to xyxy; ids remapped
+    assert len(r["annotations"]) == 2
     a = r["annotations"][0]
     assert a["category_id"] == 0
+    assert a["difficult"] == 0 and a["area"] == 300
     np.testing.assert_allclose(a["bbox"], [10, 10, 30, 25])
+    crowd = r["annotations"][1]
+    assert crowd["difficult"] == 1 and crowd["iscrowd"] == 1
 
     from drn_wsod_tpu.data import MetadataCatalog
     assert MetadataCatalog.get("coco_test_ds").thing_classes == ["cat", "dog"]

@@ -34,6 +34,8 @@ def test_config_merges_and_builds(path):
     elif arch == "PanopticFPN":
         assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
         assert model.sem_num_classes == cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    elif arch == "SemanticSegmentor":
+        assert model.num_classes == cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     else:
         assert model.num_classes == cfg.MODEL.ROI_HEADS.NUM_CLASSES
         if model.pyramid_strides is None:

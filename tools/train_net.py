@@ -67,7 +67,8 @@ def setup(args):
 
 def build_evaluator(cfg, dataset_name, records):
     """Per-dataset evaluator dispatch (reference
-    projects/WSL/tools/train_net.py:119-167)."""
+    projects/WSL/tools/train_net.py:119-167 and core
+    tools/train_net.py:build_evaluator)."""
     meta = MetadataCatalog.get(dataset_name)
     gt_by_image = {str(r["image_id"]): r.get("annotations", [])
                    for r in records}
@@ -75,10 +76,26 @@ def build_evaluator(cfg, dataset_name, records):
     if etype == "pascal_voc":
         return PascalVOCDetectionEvaluator(
             meta.thing_classes, gt_by_image, year=meta.get("year", 2007))
-    if etype == "coco":
+    if etype in ("coco", "coco_panoptic_seg", "cityscapes_instance"):
         from drn_wsod_tpu.evaluation.coco_eval import COCODetectionEvaluator
 
-        return COCODetectionEvaluator(meta.thing_classes, gt_by_image)
+        tasks = ["bbox"]
+        if cfg.MODEL.MASK_ON:
+            tasks.append("segm")
+        if cfg.MODEL.KEYPOINT_ON:
+            tasks.append("keypoints")
+        return COCODetectionEvaluator(meta.thing_classes, gt_by_image,
+                                      tasks=tuple(tasks))
+    if etype == "rotated_coco":
+        from drn_wsod_tpu.evaluation import RotatedCOCODetectionEvaluator
+
+        return RotatedCOCODetectionEvaluator(meta.thing_classes, gt_by_image)
+    if etype in ("sem_seg", "cityscapes_sem_seg"):
+        from drn_wsod_tpu.evaluation import SemSegEvaluator
+
+        return SemSegEvaluator(
+            meta.get("stuff_classes") or meta.thing_classes,
+            ignore_label=meta.get("ignore_label", 255))
     if etype == "lvis":
         from drn_wsod_tpu.evaluation.lvis_eval import LVISDetectionEvaluator
 
@@ -108,6 +125,15 @@ def do_test(cfg, model, variables, eval_train: bool = False):
         pf = [proposal_files[i]] if cfg.MODEL.LOAD_PROPOSALS and \
             i < len(proposal_files) else ()
         records = get_detection_dataset_dicts([name], pf, filter_empty=False)
+        etype = MetadataCatalog.get(name).get("evaluator_type", "pascal_voc")
+        if etype in ("sem_seg", "cityscapes_sem_seg") or \
+                etype == "coco_panoptic_seg":
+            results[name] = do_dense_test(cfg, model, variables, name,
+                                          mapper, records, etype,
+                                          proposal_files[i]
+                                          if i < len(proposal_files) else None)
+            logger.info(f"Results on {name}: {results[name]}")
+            continue
         if cfg.TEST.AUG.ENABLED:
             from drn_wsod_tpu.tta import GeneralizedRCNNWithTTAAVG
 
@@ -132,7 +158,9 @@ def do_test(cfg, model, variables, eval_train: bool = False):
             detect = make_detect_fn(model,
                                     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
                                     cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
-                                    cfg.TEST.DETECTIONS_PER_IMAGE)
+                                    cfg.TEST.DETECTIONS_PER_IMAGE,
+                                    mask_on=cfg.MODEL.MASK_ON,
+                                    keypoint_on=cfg.MODEL.KEYPOINT_ON)
             evaluator = build_evaluator(cfg, name, loader._records)
             results[name] = inference_on_dataset(
                 detect, variables, loader, evaluator, loader._records)
@@ -143,6 +171,54 @@ def do_test(cfg, model, variables, eval_train: bool = False):
 
         assert verify_results(cfg, results[datasets[0]]), \
             "Results verification failed!"
+    return results
+
+
+def do_dense_test(cfg, model, variables, name, mapper, records, etype,
+                  proposal_file=None):
+    """Dense-output evaluation paths (reference per-dataset evaluator lists,
+    tools/train_net.py:build_evaluator): semantic segmentation (mIoU) and
+    panoptic fusion (PQ) — plus instance AP for panoptic datasets."""
+    from drn_wsod_tpu.evaluation import (make_sem_seg_fn,
+                                         panoptic_inference_on_dataset,
+                                         sem_seg_inference_on_dataset)
+
+    meta = MetadataCatalog.get(name)
+    loader = build_detection_test_loader(cfg, name, mapper,
+                                         proposal_file=proposal_file)
+    sem_fn = make_sem_seg_fn(model)
+    if etype in ("sem_seg", "cityscapes_sem_seg"):
+        evaluator = build_evaluator(cfg, name, records)
+        return sem_seg_inference_on_dataset(
+            sem_fn, variables, loader, evaluator, loader._records)
+
+    # coco_panoptic_seg: instance AP (+ masks) and PQ over the fused output
+    results = {}
+    detect = make_detect_fn(model, cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                            cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                            cfg.TEST.DETECTIONS_PER_IMAGE,
+                            mask_on=cfg.MODEL.MASK_ON)
+    evaluator = build_evaluator(cfg, name, records)
+    results.update(inference_on_dataset(
+        detect, variables, loader, evaluator, loader._records))
+
+    if any("pan_seg_file_name" in r for r in records):
+        from drn_wsod_tpu.evaluation.panoptic_eval import \
+            PanopticQualityEvaluator
+
+        n_thing = len(meta.thing_classes)
+        n_stuff = len(meta.get("stuff_classes") or []) or \
+            cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        pq_eval = PanopticQualityEvaluator(n_thing + n_stuff - 1)
+        loader2 = build_detection_test_loader(cfg, name, mapper,
+                                              proposal_file=proposal_file)
+        results.update(panoptic_inference_on_dataset(
+            detect, sem_fn, variables, loader2, pq_eval, loader2._records,
+            num_thing_classes=n_thing,
+            overlap_threshold=cfg.MODEL.PANOPTIC_FPN.COMBINE.OVERLAP_THRESH,
+            stuff_area_limit=cfg.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT,
+            conf_threshold=cfg.MODEL.PANOPTIC_FPN.COMBINE
+            .INSTANCES_CONFIDENCE_THRESH))
     return results
 
 
