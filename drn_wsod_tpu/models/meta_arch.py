@@ -202,11 +202,15 @@ class GeneralizedRCNNWSL(nn.Module):
                 # cross-image pipelining) — measured faster than unrolled
                 # per-image launches AND than the wide-CT DMA layout
                 # (38.5 vs 43.1 vs 41.5 ms, PERF.md round-2 iterations)
+                # unroll_rois=False: the row-shared tiers (5 pl.when
+                # branches) regress 3.4x when statically unrolled (code
+                # blowup); the fori form measures 36.5 ms vs 37.9 unrolled
+                # 3-tier (see PERF.md round-2 late experiments)
                 pooled = jax.vmap(
                     lambda fmap, boxes, sc: roi_pool_pallas(
                         fmap, boxes, scale, resolution=res,
                         interpret=jax.default_backend() == "cpu",
-                        roi_scale=sc, unroll_rois=True)
+                        roi_scale=sc, unroll_rois=False)
                 )(feats, proposals, roi_scale)
                 B, P = pooled.shape[:2]
                 flat = pooled.reshape(B * P, -1)

@@ -67,7 +67,7 @@ def _load_extent(W: int, R: int) -> int:
     return -(-(7 + _max_span(W, R)) // LX)
 
 
-def _kernel_positions(boxes, spatial_scale, H, W, R):
+def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
     """Per-bin gather coords for the y-RMQ + masked-16-window-x kernel.
 
     Returns:
@@ -77,8 +77,14 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
       mi: (P, R*R*2) int32 — range-mask indices a*16 + (b-1) (lanes [a, b)
         of a 16-window) for the first and second window; the second is the
         all-poison entry when the span fits one window.
-      tier: (P, 1) int32 — 0: every bin is one y-row x one 16-window;
-        1: two y-rows x one window; 2: two y-rows x two windows.
+      tier: (P, 1) int32 —
+        0: per-bin, one y-row x one 16-window;
+        1: per-bin, two y-rows x one window;
+        2: per-bin, two y-rows x NW windows (widest rois);
+        3: ROW-SHARED, whole roi x-extent inside ONE roi-aligned window —
+           the window pair is loaded once per y-row and reused by all R
+           x-bins (masks address lanes relative to the shared start);
+        4: ROW-SHARED over TWO adjacent windows.
       bin_scale_mask: (P, R, R) f32 — 1 on on-map bins, 0 on empty bins.
     """
     Ky = _num_levels(H, R)
@@ -101,13 +107,13 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
     we = jnp.clip(we, 0, W)
     vx = we > ws
     # mask indices: entry a*16 + (b-1) is zero on lanes [a, b) of a
-    # 16-window; the extra entry 8*16 is all-poison (window beyond the span)
+    # 16-window; the extra entry LX*LX is all-poison (window beyond the span)
     NW = max(_load_extent(W, R), 2)
     span = jnp.clip(we - ws, 1, NW * LX - 7)
     x8 = jnp.clip((ws // 8) * 8, 0, W - 1)   # ws == W only on empty bins
     a = jnp.clip(ws - x8, 0, 7)
     end = a + span
-    ALL_POISON = 8 * LX                              # extra table entry
+    ALL_POISON = LX * LX                             # extra table entry
     js = jnp.arange(NW, dtype=jnp.int32)
     a_j = jnp.clip(a[..., None] - js * LX, 0, 7)     # a for j=0, else 0
     b_j = jnp.clip(end[..., None] - js * LX, 1, LX)
@@ -119,8 +125,39 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
     # 1 = two y rows + single window, 2 = full (multi-window somewhere)
     y_deg = (ys[..., 1] == ys[..., 0]).all(axis=-1)          # (P,)
     one_w = jnp.logical_not(has_j[..., 1:].any((-2, -1)))    # (P,)
-    tier = jnp.where(one_w & y_deg, 0, jnp.where(one_w, 1, 2))
+
+    # ---- row-shared tiers: the whole roi x-extent fits 1 or 2 windows
+    # aligned at the ROI's (not the bin's) 8-aligned start, so each y-row's
+    # window loads are shared by all R x-bins. Mask lane offsets are
+    # relative to x8r and may reach LX-1 (the table covers a in [0, LX)).
+    ws_min, we_max = ws[:, 0], we[:, -1]                      # (P,)
+    x8r = jnp.clip((jnp.clip(ws_min, 0, W - 1) // 8) * 8, 0, W - 1)
+    xfit1 = we_max <= x8r + LX
+    xfit2 = we_max <= x8r + 2 * LX
+    js2 = jnp.arange(2, dtype=jnp.int32)
+    rs = ws - x8r[:, None]                                    # (P, R)
+    re_ = we - x8r[:, None]
+    a_s = jnp.clip(rs[..., None] - js2 * LX, 0, LX - 1)       # (P, R, 2)
+    b_s = jnp.clip(re_[..., None] - js2 * LX, 1, LX)
+    has_s = ((re_[..., None] > js2 * LX)
+             & (rs[..., None] < (js2 + 1) * LX) & vx[..., None])
+    mi_s = jnp.where(has_s, a_s * LX + (b_s - 1), ALL_POISON)
+    if NW > 2:
+        mi_s = jnp.concatenate(
+            [mi_s, jnp.full((P, R, NW - 2), ALL_POISON, jnp.int32)], -1)
+
+    # tier priority (measured per-roi vreg-op costs): shared-1-window beats
+    # everything it covers; per-bin degenerate-y beats shared-2-window.
+    if not row_share:
+        xfit1 = xfit2 = jnp.zeros_like(xfit1)
+    tier = jnp.where(
+        xfit1, 3,
+        jnp.where(one_w & y_deg, 0,
+                  jnp.where(xfit2, 4, jnp.where(one_w, 1, 2))))
     tier = tier.astype(jnp.int32)[:, None]
+    shared = (tier[:, 0] == 3) | (tier[:, 0] == 4)
+    x8 = jnp.where(shared[:, None], x8r[:, None], x8)
+    mi = jnp.where(shared[:, None, None], mi_s, mi)
 
     valid = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
     ys_b = jnp.broadcast_to(ys[:, :, None, :], (P, R, R, 2))
@@ -132,7 +169,8 @@ def _kernel_positions(boxes, spatial_scale, H, W, R):
 
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                  hbm_tables=False, int8_mode=False,
-                 fuse_table_build=False, H=0):
+                 fuse_table_build=False, H=0, row_share=True,
+                 joint_emit=True):
     """Masked-16-window formulation with per-ROI tiers (module docstring).
 
     ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
@@ -216,12 +254,14 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             poison = jnp.asarray(-128.0 if int8_mode else neg_val,
                                  jnp.float32)
             tdt = jnp.int8 if int8_mode else dtype
-            for a in range(8):
+            # a reaches LX-1: row-shared tiers address lanes relative to
+            # the ROI's aligned start, not the bin's
+            for a in range(LX):
                 for b in range(a + 1, LX + 1):
                     tab_ref[a * LX + (b - 1)] = jnp.where(
                         (sub >= float(a)) & (sub < float(b)),
                         keep, poison).astype(tdt)
-            tab_ref[8 * LX] = jnp.full((LX, CT), poison).astype(tdt)
+            tab_ref[LX * LX] = jnp.full((LX, CT), poison).astype(tdt)
 
         def one_roi(i):
             def win(b, sy, j):
@@ -231,7 +271,7 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                 t = tab_ref[mi_ref[i, NW * b + j]]
                 return jnp.minimum(w, t) if int8_mode else w + t
 
-            def emit(b, acc):
+            def emit_single(b, acc):
                 # fused epilogue: per-bin scale = (objectness+1) * validity
                 # * bin-on-map (0 zeroes off-map/empty bins, torchvision
                 # semantics). Applying this as an XLA pass instead measured
@@ -249,21 +289,74 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                     m = jnp.max(jnp.maximum(acc[:8], acc[8:]), axis=0)
                     out_ref[i, b, :] = m * scale_ref[i, b].astype(dtype)
 
+            # ---- joint emit: butterfly multi-reduce of 8 consecutive bins.
+            # Each bin's (16, CT) acc folds to a scaled (8, CT) partial; a
+            # 3-round select/rotate butterfly then computes all 8 sublane
+            # reductions AT ONCE, landing bin b0+k's total on sublane k (the
+            # bit-reversal permutation [0,4,2,6,1,5,3,7] is absorbed by slot
+            # assignment), so 8 bins cost 7 pair-merges (5 vreg-ops each) +
+            # ONE (8, CT) store instead of 8 shuffle trees + 8 row stores.
+            def _rot(v, d):
+                return pltpu.roll(v, (-d) % 8, 0)  # _rot(v,d)[i]=v[(i+d)%8]
+
+            def _pair(a, b, d):
+                m = (jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
+                     % (2 * d)) < d
+                x = jnp.where(m, a, _rot(b, -d))
+                y = jnp.where(m, _rot(a, d), b)
+                return jnp.maximum(x, y)
+
+            _PI = (0, 4, 2, 6, 1, 5, 3, 7)       # self-inverse
+
+            def _flush(pend):
+                if len(pend) == 8:
+                    b0 = pend[0][0]
+                    s = [pend[_PI[k]][1] for k in range(8)]
+                    c = [_pair(s[2 * k], s[2 * k + 1], 4) for k in range(4)]
+                    e = [_pair(c[2 * k], c[2 * k + 1], 2) for k in range(2)]
+                    out_ref[i, b0:b0 + 8, :] = _pair(e[0], e[1], 1)
+                else:
+                    for b, p in pend:
+                        out_ref[i, b, :] = jnp.max(p, axis=0)
+                pend.clear()
+
+            use_joint = joint_emit and not int8_mode
+
+            def make_emit():
+                """Per-tier-body emitter (each pl.when body traces its own
+                pending-group state)."""
+                if not use_joint:
+                    return emit_single, (lambda: None)
+                pend = []
+
+                def emit(b, acc):
+                    m = jnp.maximum(acc[:8], acc[8:])
+                    pend.append((b, m * scale_ref[i, b].astype(dtype)))
+                    if len(pend) == 8:
+                        _flush(pend)
+
+                return emit, (lambda: _flush(pend))
+
             # one branch per ROI (per-bin branches measured 2x slower)
             tier = tier_ref[i, 0]
 
             @pl.when(tier == 0)
             def _():
+                emit, fin = make_emit()
                 for b in range(R * R):       # 1 sample/bin
                     emit(b, win(b, 0, 0))
+                fin()
 
             @pl.when(tier == 1)
             def _():
+                emit, fin = make_emit()
                 for b in range(R * R):       # 2 samples/bin
                     emit(b, jnp.maximum(win(b, 0, 0), win(b, 1, 0)))
+                fin()
 
             @pl.when(tier == 2)
             def _():
+                emit, fin = make_emit()
                 for b in range(R * R):       # 2*NW samples/bin (rare rois)
                     acc = None
                     for sy in range(2):
@@ -271,6 +364,48 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                             t = win(b, sy, j)
                             acc = t if acc is None else jnp.maximum(acc, t)
                     emit(b, acc)
+                fin()
+
+            if not row_share:
+                return
+            # row-shared tiers: the (16, CT) window(s) for a y-row are
+            # loaded once and reused by all R x-bins of that row (mask
+            # offsets are relative to the roi-shared x8). The y-RMQ pair
+            # max is taken BEFORE masking (max(w0, w1) + t == the max of
+            # the two masked windows; min for the int8 poison likewise).
+            def row_windows(b0, j):
+                y0 = ys_ref[i, 2 * b0]
+                y1 = ys_ref[i, 2 * b0 + 1]
+                x8 = pl.multiple_of(x8_ref[i, b0], 8) + j * LX
+                return jnp.maximum(feat_ref[y0, pl.ds(x8, LX), :],
+                                   feat_ref[y1, pl.ds(x8, LX), :])
+
+            def masked(m, b, j):
+                t = tab_ref[mi_ref[i, NW * b + j]]
+                return jnp.minimum(m, t) if int8_mode else m + t
+
+            @pl.when(tier == 3)
+            def _():
+                emit, fin = make_emit()
+                for yb in range(R):          # one shared window per y-row
+                    b0 = yb * R
+                    m = row_windows(b0, 0)
+                    for xb in range(R):
+                        emit(b0 + xb, masked(m, b0 + xb, 0))
+                fin()
+
+            @pl.when(tier == 4)
+            def _():
+                emit, fin = make_emit()
+                for yb in range(R):          # two shared windows per y-row
+                    b0 = yb * R
+                    m0 = row_windows(b0, 0)
+                    m1 = row_windows(b0, 1)
+                    for xb in range(R):
+                        b = b0 + xb
+                        emit(b, jnp.maximum(masked(m0, b, 0),
+                                            masked(m1, b, 1)))
+                fin()
 
         if unroll_rois:
             # static unroll: independent bins across rois pipeline freely
@@ -311,14 +446,17 @@ def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
                                    "roi_block", "c_tile", "interpret",
-                                   "unroll_rois", "quantize_int8"))
+                                   "unroll_rois", "quantize_int8",
+                                   "row_share", "joint_emit"))
 def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, resolution: int = 7,
                     roi_block: int = 8,
                     c_tile: int = 512, interpret: bool = False,
                     roi_scale: jnp.ndarray | None = None,
                     unroll_rois: bool = False,
-                    quantize_int8: bool = False) -> jnp.ndarray:
+                    quantize_int8: bool = False,
+                    row_share: bool = True,
+                    joint_emit: bool = False) -> jnp.ndarray:
     """(H, W, C) features + (P, 4) boxes -> (P, R, R, C) pooled, exact max.
 
     ``roi_scale`` (P,) optionally scales each RoI's output in the kernel
@@ -340,7 +478,7 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     Ky = _num_levels(H, R)
     NW = max(_load_extent(W, R), 2)
     W8 = ((W - 1) // 8) * 8 + NW * LX
-    n_masks = 8 * LX + 1                       # + all-poison entry
+    n_masks = LX * LX + 1                      # + all-poison entry
     table_dtype = jnp.int8 if quantize_int8 else features.dtype
     itemsize = jnp.dtype(table_dtype).itemsize
 
@@ -363,7 +501,8 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     hbm_tables = (not fuse_table_build
                   and footprint(CT, "block") > _VMEM_BUDGET)
 
-    ys, x8, mi, tier, valid = _kernel_positions(boxes, spatial_scale, H, W, R)
+    ys, x8, mi, tier, valid = _kernel_positions(boxes, spatial_scale, H, W, R,
+                                                row_share=row_share)
     if roi_scale is None:
         roi_scale = jnp.ones((P,), jnp.float32)
     # per-bin scale: roi scale where the bin intersects the map, 0 otherwise
@@ -426,7 +565,8 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
         _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
                      unroll_rois=unroll_rois, hbm_tables=hbm_tables,
                      int8_mode=quantize_int8,
-                     fuse_table_build=fuse_table_build, H=H),
+                     fuse_table_build=fuse_table_build, H=H,
+                     row_share=row_share, joint_emit=joint_emit),
         grid=grid,
         in_specs=smem_specs + [feat_spec],
         out_specs=pl.BlockSpec((RB, R * R, CT), lambda c, r: (r, 0, c),

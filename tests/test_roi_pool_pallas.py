@@ -82,3 +82,39 @@ def test_pallas_int8_quantized_within_tolerance():
     tol = ch_step[None, None, None, :] * 0.51 + 1e-6
     assert (np.abs(got - want) <= tol).all(), \
         f"max err {np.abs(got - want).max()}, tol {tol.max()}"
+
+
+@pytest.mark.slow
+def test_pallas_all_tiers_match_xla():
+    """Force every kernel tier (per-bin 0/1/2 and row-shared 3/4) in one
+    launch and check exact parity: tiny boxes (shared single window),
+    mid-size (shared two windows), flat/degenerate-y, and whole-image
+    context boxes (full multi-window fallback)."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import _kernel_positions
+
+    rng = np.random.RandomState(7)
+    H = W = 64
+    C = 8
+    boxes = np.array(
+        [
+            [4.0, 4.0, 24.0, 24.0],        # ~6x6 cells: tier 3
+            [9.0, 3.0, 40.0, 90.0],        # misaligned narrow: tier 3
+            [8.0, 8.0, 100.0, 100.0],      # ~24x24 cells: tier 4
+            [2.0, 40.0, 162.0, 62.0],      # 40 cells wide, flat: tier 0
+            [0.0, 0.0, 255.0, 255.0],      # whole image: tier 2
+            [5.0, 0.0, 165.0, 60.0],       # 40 cells wide, 15 rows: tier 1
+            [120.0, 120.0, 126.0, 126.0],  # sub-bin tiny: tier 3
+            [-20.0, -20.0, 300.0, 300.0],  # out-of-map context: tier 2
+        ],
+        np.float32)
+    feat = rng.randn(H, W, C).astype(np.float32)
+    tiers = np.asarray(_kernel_positions(
+        jnp.asarray(boxes), 0.25, H, W, 7)[3])[:, 0]
+    assert {0, 1, 2, 3, 4} <= set(tiers.tolist())
+
+    want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25,
+                               resolution=7))
+    got = np.asarray(roi_pool_pallas(jnp.asarray(feat), jnp.asarray(boxes),
+                                     0.25, resolution=7,
+                                     roi_block=4, c_tile=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
