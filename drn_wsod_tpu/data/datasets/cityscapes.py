@@ -70,9 +70,12 @@ def load_cityscapes_instances(image_dir: str, gt_dir: str) -> List[dict]:
             if obj.get("deleted"):
                 continue
             label = obj["label"]
+            iscrowd = 0
             if label.endswith(_GROUP_SUFFIX):
-                # crowd region (reference maps "xxxgroup" to iscrowd)
-                continue
+                # crowd region (reference maps "xxxgroup" to iscrowd=1;
+                # evaluators treat these as ignore regions)
+                label = label[:-len(_GROUP_SUFFIX)]
+                iscrowd = 1
             if label not in name_to_id:
                 continue
             poly = obj["polygon"]
@@ -83,6 +86,7 @@ def load_cityscapes_instances(image_dir: str, gt_dir: str) -> List[dict]:
                 "bbox": [min(xs), min(ys), max(xs), max(ys)],
                 "bbox_mode": "XYXY_ABS",
                 "difficult": 0,
+                "iscrowd": iscrowd,
                 "segmentation": [[c for p in poly for c in p]],
             })
         record["annotations"] = annos
@@ -128,10 +132,12 @@ def register_all_cityscapes(root: str = "datasets"):
             name, lambda i=image_dir, g=gt_dir: load_cityscapes_instances(i, g))
         MetadataCatalog.get(name).set(
             thing_classes=list(CITYSCAPES_THING_CLASSES),
-            image_dir=image_dir, gt_dir=gt_dir, evaluator_type="coco")
+            image_dir=image_dir, gt_dir=gt_dir,
+            evaluator_type="cityscapes_instance")
         sem_name = name.replace("instance_seg", "sem_seg")
         DatasetCatalog.register(
             sem_name,
             lambda i=image_dir, g=gt_dir: load_cityscapes_semantic(i, g))
         MetadataCatalog.get(sem_name).set(
-            image_dir=image_dir, gt_dir=gt_dir, evaluator_type="sem_seg")
+            image_dir=image_dir, gt_dir=gt_dir,
+            evaluator_type="cityscapes_sem_seg")

@@ -1,3 +1,6 @@
+from .cityscapes_eval import (CityscapesInstanceEvaluator,
+                              CityscapesSemSegEvaluator,
+                              label_ids_to_train_ids)
 from .evaluator import (inference_on_dataset, make_detect_fn,
                         make_sem_seg_fn, panoptic_inference_on_dataset,
                         sem_seg_inference_on_dataset)
@@ -7,6 +10,8 @@ from .voc_eval import (PascalVOCDetectionEvaluator, voc_ap, voc_eval_class,
                        voc_eval_corloc_class)
 
 __all__ = [
+    "CityscapesInstanceEvaluator", "CityscapesSemSegEvaluator",
+    "label_ids_to_train_ids",
     "inference_on_dataset", "make_detect_fn", "make_sem_seg_fn",
     "panoptic_inference_on_dataset", "sem_seg_inference_on_dataset",
     "PascalVOCDetectionEvaluator", "RotatedCOCODetectionEvaluator",

@@ -1,6 +1,6 @@
 """Cityscapes loader on a synthetic gtFine tree (reference
 data/datasets/cityscapes.py semantics: polygons json -> instances,
-group labels skipped, labelIds for semantic records)."""
+group labels -> iscrowd ignore regions, labelIds for semantic records)."""
 
 import json
 import os
@@ -27,7 +27,7 @@ def _make_tree(root):
         "objects": [
             {"label": "car",
              "polygon": [[10, 10], [40, 10], [40, 30], [10, 30]]},
-            {"label": "persongroup",             # crowd -> skipped
+            {"label": "persongroup",             # crowd -> iscrowd=1
              "polygon": [[0, 0], [5, 0], [5, 5]]},
             {"label": "sky",                     # not a thing class
              "polygon": [[0, 0], [96, 0], [96, 10]]},
@@ -51,12 +51,16 @@ def test_load_instances(tmp_path):
     r = dicts[0]
     assert r["height"] == 64 and r["width"] == 96
     annos = r["annotations"]
-    assert len(annos) == 2       # car + bicycle; group/sky/deleted skipped
+    assert len(annos) == 3   # car + persongroup(crowd) + bicycle; sky/deleted skipped
     car = annos[0]
     assert car["category_id"] == CITYSCAPES_THING_CLASSES.index("car")
     assert car["bbox"] == [10, 10, 40, 30]
+    assert car["iscrowd"] == 0
     assert len(car["segmentation"][0]) == 8      # flattened polygon coords
-    bike = annos[1]
+    crowd = annos[1]
+    assert crowd["category_id"] == CITYSCAPES_THING_CLASSES.index("person")
+    assert crowd["iscrowd"] == 1
+    bike = annos[2]
     assert bike["bbox"] == [50, 40, 80, 60]
 
 

@@ -239,7 +239,9 @@ def test_build_evaluator_dispatch(tmp_path):
     tn = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(tn)
 
-    from drn_wsod_tpu.evaluation import (RotatedCOCODetectionEvaluator,
+    from drn_wsod_tpu.evaluation import (CityscapesInstanceEvaluator,
+                                         CityscapesSemSegEvaluator,
+                                         RotatedCOCODetectionEvaluator,
                                          SemSegEvaluator)
     from drn_wsod_tpu.evaluation.coco_eval import COCODetectionEvaluator
     from drn_wsod_tpu.evaluation.voc_eval import PascalVOCDetectionEvaluator
@@ -252,8 +254,8 @@ def test_build_evaluator_dispatch(tmp_path):
         "coco": COCODetectionEvaluator,
         "rotated_coco": RotatedCOCODetectionEvaluator,
         "sem_seg": SemSegEvaluator,
-        "cityscapes_instance": COCODetectionEvaluator,
-        "cityscapes_sem_seg": SemSegEvaluator,
+        "cityscapes_instance": CityscapesInstanceEvaluator,
+        "cityscapes_sem_seg": CityscapesSemSegEvaluator,
     }
     for etype, klass in cases.items():
         name = f"dispatch_{etype}_ds"
@@ -268,3 +270,7 @@ def test_build_evaluator_dispatch(tmp_path):
     # coco with MASK_ON carries the segm task
     ev = tn.build_evaluator(cfg, "dispatch_coco_ds", records)
     assert ev._tasks == ("bbox", "segm")
+    # cityscapes_instance without masks falls back to COCO bbox AP
+    cfg.MODEL.MASK_ON = False
+    ev = tn.build_evaluator(cfg, "dispatch_cityscapes_instance_ds", records)
+    assert isinstance(ev, COCODetectionEvaluator)

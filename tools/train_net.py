@@ -76,6 +76,13 @@ def build_evaluator(cfg, dataset_name, records):
     if etype == "pascal_voc":
         return PascalVOCDetectionEvaluator(
             meta.thing_classes, gt_by_image, year=meta.get("year", 2007))
+    if etype == "cityscapes_instance" and cfg.MODEL.MASK_ON:
+        # Cityscapes-native instance-mask AP (reference
+        # CityscapesInstanceEvaluator); without masks fall through to the
+        # COCO bbox evaluator below.
+        from drn_wsod_tpu.evaluation import CityscapesInstanceEvaluator
+
+        return CityscapesInstanceEvaluator(meta.thing_classes, gt_by_image)
     if etype in ("coco", "coco_panoptic_seg", "cityscapes_instance"):
         from drn_wsod_tpu.evaluation.coco_eval import COCODetectionEvaluator
 
@@ -90,7 +97,14 @@ def build_evaluator(cfg, dataset_name, records):
         from drn_wsod_tpu.evaluation import RotatedCOCODetectionEvaluator
 
         return RotatedCOCODetectionEvaluator(meta.thing_classes, gt_by_image)
-    if etype in ("sem_seg", "cityscapes_sem_seg"):
+    if etype == "cityscapes_sem_seg":
+        # 19-class pixel IoU over raw gtFine labelIds maps (reference
+        # CityscapesSemSegEvaluator); the labelId->trainId mapping happens
+        # inside the evaluator.
+        from drn_wsod_tpu.evaluation import CityscapesSemSegEvaluator
+
+        return CityscapesSemSegEvaluator()
+    if etype == "sem_seg":
         from drn_wsod_tpu.evaluation import SemSegEvaluator
 
         return SemSegEvaluator(
@@ -127,7 +141,8 @@ def do_test(cfg, model, variables, eval_train: bool = False):
         records = get_detection_dataset_dicts([name], pf, filter_empty=False)
         etype = MetadataCatalog.get(name).get("evaluator_type", "pascal_voc")
         if etype in ("sem_seg", "cityscapes_sem_seg") or \
-                etype == "coco_panoptic_seg":
+                etype == "coco_panoptic_seg" or \
+                (etype == "cityscapes_instance" and cfg.MODEL.MASK_ON):
             results[name] = do_dense_test(cfg, model, variables, name,
                                           mapper, records, etype,
                                           proposal_files[i]
