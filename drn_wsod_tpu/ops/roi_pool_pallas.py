@@ -297,7 +297,13 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             # assignment), so 8 bins cost 7 pair-merges (5 vreg-ops each) +
             # ONE (8, CT) store instead of 8 shuffle trees + 8 row stores.
             def _rot(v, d):
-                return pltpu.roll(v, (-d) % 8, 0)  # _rot(v,d)[i]=v[(i+d)%8]
+                # _rot(v,d)[i] = v[(i+d)%8]. Static slice+concat instead of
+                # pltpu.roll: Mosaic's tpu.dynamic_rotate is unimplemented
+                # for non-32-bit element types (bf16 accs).
+                k = d % 8
+                if k == 0:
+                    return v
+                return jnp.concatenate([v[k:], v[:k]], axis=0)
 
             def _pair(a, b, d):
                 m = (jax.lax.broadcasted_iota(jnp.int32, (8, CT), 0)
