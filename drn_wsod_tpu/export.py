@@ -18,11 +18,39 @@ import jax
 logger = logging.getLogger(__name__)
 
 
+_SERIALIZATION_REGISTERED = False
+
+
+def _ensure_batch_serialization():
+    """Register WSODBatch (a chex dataclass pytree) with jax.export's
+    pytree serializer so the exported calling convention round-trips. The
+    auxdata is the sorted field-name tuple — serialized as JSON (no pickle
+    in the artifact)."""
+    global _SERIALIZATION_REGISTERED
+    if _SERIALIZATION_REGISTERED:
+        return
+    import json
+
+    from jax import export as jax_export
+
+    from .structures import WSODBatch
+
+    jax_export.register_pytree_node_serialization(
+        WSODBatch,
+        serialized_name="drn_wsod_tpu.WSODBatch",
+        serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda data: tuple(json.loads(data.decode())),
+    )
+    _SERIALIZATION_REGISTERED = True
+
+
 def export_inference(model, variables, batch, path: Optional[str] = None):
     """Serialize the inference forward (scores + boxes) for the given
     example batch shapes. Returns the serialized bytes (and writes them to
     ``path`` if given)."""
     from jax import export as jax_export
+
+    _ensure_batch_serialization()
 
     def forward(variables, batch):
         return model.apply(variables, batch, method="inference_scores")
@@ -43,6 +71,7 @@ def load_exported(path_or_bytes):
     runs it."""
     from jax import export as jax_export
 
+    _ensure_batch_serialization()
     data = path_or_bytes
     if isinstance(path_or_bytes, str):
         with open(path_or_bytes, "rb") as f:
