@@ -85,11 +85,15 @@ def test_pallas_int8_quantized_within_tolerance():
 
 
 @pytest.mark.slow
-def test_pallas_all_tiers_match_xla():
+@pytest.mark.parametrize("joint_emit,unroll", [(False, False), (True, False),
+                                               (True, True)])
+def test_pallas_all_tiers_match_xla(joint_emit, unroll):
     """Force every kernel tier (per-bin 0/1/2 and row-shared 3/4) in one
     launch and check exact parity: tiny boxes (shared single window),
     mid-size (shared two windows), flat/degenerate-y, and whole-image
-    context boxes (full multi-window fallback)."""
+    context boxes (full multi-window fallback). Parametrized over the
+    butterfly joint-emit epilogue (8-bin multi-reduce — 49 bins = 6 full
+    groups + 1 single-emit leftover) and static roi unrolling."""
     from drn_wsod_tpu.ops.roi_pool_pallas import _kernel_positions
 
     rng = np.random.RandomState(7)
@@ -116,5 +120,7 @@ def test_pallas_all_tiers_match_xla():
                                resolution=7))
     got = np.asarray(roi_pool_pallas(jnp.asarray(feat), jnp.asarray(boxes),
                                      0.25, resolution=7,
-                                     roi_block=4, c_tile=8, interpret=True))
+                                     roi_block=4, c_tile=8, interpret=True,
+                                     joint_emit=joint_emit,
+                                     unroll_rois=unroll))
     np.testing.assert_allclose(got, want, rtol=1e-6)
