@@ -3,6 +3,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from drn_wsod_tpu.ops.deform_conv import deform_conv2d
 
@@ -57,6 +58,7 @@ def test_grad_flows():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_deform_bottleneck_in_ws_resnet_trains():
     """DEFORM_ON_PER_STAGE wires DeformBottleneckBlock into WS-ResNet and a
     train step runs (reference resnet_ws.py:240-354 + defaults.py:488-493).

@@ -7,6 +7,7 @@ dense numpy re-implementation for randomized comparison.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from drn_wsod_tpu.ops import roi_align, roi_pool
 
@@ -166,6 +167,7 @@ def test_roi_pool_exact_all_bin_sizes():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_roi_pool_pallas_exact_all_bin_sizes():
     from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas
 
