@@ -7,6 +7,8 @@ from drn_wsod_tpu.structures import (
     pairwise_iou, unique_boxes_mask,
 )
 
+pytestmark = pytest.mark.core
+
 
 def test_area():
     b = jnp.array([[0, 0, 10, 10], [5, 5, 5, 9], [2, 2, 1, 1]], dtype=jnp.float32)

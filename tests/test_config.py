@@ -4,6 +4,8 @@ import pytest
 
 from drn_wsod_tpu.config import CfgNode, get_cfg
 
+pytestmark = pytest.mark.core
+
 
 def test_defaults_tree():
     cfg = get_cfg()

@@ -17,6 +17,10 @@ from drn_wsod_tpu.data import (DatasetCatalog, DatasetMapper,  # noqa: E402
 from drn_wsod_tpu.data.datasets.voc import (load_voc_instances,  # noqa: E402
                                             register_pascal_voc)
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.core
+
 
 def setup_ds(tmp_path, name_prefix):
     d, prop_file = make_voc_dataset(str(tmp_path))

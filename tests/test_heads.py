@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from drn_wsod_tpu.models.heads import oicr, wsddn
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def test_wsddn_scores_masked_softmax():

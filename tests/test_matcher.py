@@ -3,6 +3,9 @@ import numpy as np
 
 from drn_wsod_tpu.ops import match
 from drn_wsod_tpu.structures import pairwise_iou
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def test_match_basic():

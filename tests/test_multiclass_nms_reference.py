@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from drn_wsod_tpu.ops import multiclass_nms
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def _iou(a, b):

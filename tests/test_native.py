@@ -6,8 +6,9 @@ import pytest
 from drn_wsod_tpu import native
 from drn_wsod_tpu.evaluation import voc_eval as V
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native core not built")
+pytestmark = [pytest.mark.core,
+              pytest.mark.skipif(not native.available(),
+                                 reason="native core not built")]
 
 
 def random_dataset(seed, n_images=12, n_classes=3):

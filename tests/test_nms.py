@@ -4,6 +4,8 @@ import numpy as np
 
 from drn_wsod_tpu.ops import multiclass_nms, nms_mask
 
+pytestmark = pytest.mark.core
+
 
 def ref_nms(boxes, scores, thresh):
     """Plain greedy NMS in numpy (torchvision semantics: > thresh suppresses)."""

@@ -10,6 +10,9 @@ import torch.nn.functional as F
 import jax.numpy as jnp
 
 from drn_wsod_tpu.models.heads import oicr, wsddn
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def torch_wsddn(cls_logits, det_logits, labels, mean_loss=True):

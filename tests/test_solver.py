@@ -6,6 +6,10 @@ from drn_wsod_tpu.config import get_cfg
 from drn_wsod_tpu.solver import (build_lr_schedule, build_optimizer,
                                  make_param_labels)
 
+import pytest
+
+pytestmark = pytest.mark.core
+
 
 def test_warmup_multistep_schedule():
     cfg = get_cfg()

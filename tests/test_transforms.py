@@ -1,6 +1,9 @@
 import numpy as np
 
 from drn_wsod_tpu.data import transforms as T
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def test_resize_transform_boxes_and_inverse():

@@ -4,6 +4,10 @@ from drn_wsod_tpu.evaluation.voc_eval import (PascalVOCDetectionEvaluator,
                                               voc_ap, voc_eval_class,
                                               voc_eval_corloc_class)
 
+import pytest
+
+pytestmark = pytest.mark.core
+
 
 def _gt():
     return {
