@@ -59,3 +59,64 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
             lambda x: jax.make_array_from_process_local_data(
                 sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def dan_tp_spec(path_str: str, shape, model_axis: str = "model",
+                axis_size: int = 1):
+    """PartitionSpec for one parameter under DAN tensor parallelism.
+
+    The DAN FC stack holds ~95% of the trainable parameters (FC1 alone is
+    49*2048 x 2048 ~= 411 MB bf16 for the flagship R50 workload;
+    reference box head projects/WSL/wsl/modeling/roi_heads/box_head.py:82-91).
+    Megatron-style column/row split over the ``model`` mesh axis:
+
+      * odd  fc (fc1, fc3, ...): kernel (in, hidden) -> P(None, model),
+        bias (hidden,) -> P(model)  [column parallel — activations come out
+        hidden-sharded, ReLU/dropout apply elementwise, no collective]
+      * even fc (fc2, fc4, ...): kernel (hidden, out) -> P(model, None),
+        bias -> P()  [row parallel — GSPMD inserts the psum over hidden]
+
+    Dims that do not divide the axis size fall back to replicated. Returns
+    None (replicate) for every non-DAN parameter: the backbone is frozen
+    and the per-class head linears are small, so sharding them buys nothing
+    and costs collectives.
+    """
+    import re
+
+    m = re.search(r"\['box_head'\]\['fc(\d+)'\]\['(kernel|bias)'\]",
+                  path_str)
+    if m is None:
+        return None
+    idx, kind = int(m.group(1)), m.group(2)
+    col = idx % 2 == 1
+    if kind == "kernel":
+        dim = 1 if col else 0
+        if shape[dim] % axis_size != 0:
+            return None
+        return P(None, model_axis) if col else P(model_axis, None)
+    if col:
+        if shape[0] % axis_size != 0:
+            return None
+        return P(model_axis)
+    return None
+
+
+def state_shardings(tree, mesh: Mesh, model_axis: str = "model"):
+    """NamedSharding pytree for a TrainState/variables pytree under DAN
+    tensor parallelism. The optimizer state mirrors the param tree (optax
+    momentum trace / MultiSteps accumulators embed the same key paths), so
+    one path rule shards params and their optimizer mirrors consistently."""
+    from jax.tree_util import keystr, tree_map_with_path
+
+    axis_size = int(mesh.shape[model_axis]) if model_axis in mesh.shape \
+        else 1
+
+    def one(path, leaf):
+        if axis_size > 1 and hasattr(leaf, "shape"):
+            spec = dan_tp_spec(keystr(path), leaf.shape, model_axis,
+                               axis_size)
+            if spec is not None:
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return tree_map_with_path(one, tree)

@@ -16,18 +16,34 @@ import jax
 from jax.sharding import Mesh
 
 from ..engine.trainer import make_csc_train_step, make_train_step
-from .mesh import batch_sharding, replicated
+from .mesh import batch_sharding, replicated, state_shardings
+
+
+def _state_in_shardings(model, tx, mesh, state=None):
+    """Replicated state shardings, or DAN-tensor-parallel ones when the
+    mesh carries a ``model`` axis of size > 1 (see mesh.dan_tp_spec)."""
+    if "model" in mesh.shape and mesh.shape["model"] > 1:
+        assert state is not None, \
+            "tensor-parallel step needs the concrete/abstract state to " \
+            "derive per-parameter shardings"
+        return state_shardings(state, mesh)
+    return replicated(mesh)
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh,
-                            loss_weights=None) -> Callable:
+                            loss_weights=None, state=None) -> Callable:
+    """Data-parallel step; with a ``("data", "model")`` mesh (model axis
+    > 1) the DAN FC stack is additionally Megatron-split over ``model``
+    (column fc1 / row fc2, psum inserted by GSPMD) — pass ``state`` (the
+    TrainState or its eval_shape) so per-leaf shardings can be derived."""
     step = make_train_step(model, tx, loss_weights)
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
+    ssh = _state_in_shardings(model, tx, mesh, state)
     return jax.jit(
         step,
-        in_shardings=(repl, bsh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(ssh, bsh, repl),
+        out_shardings=(ssh, repl),
         donate_argnums=(0,),
     )
 
