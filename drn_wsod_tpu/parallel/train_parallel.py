@@ -49,17 +49,18 @@ def make_sharded_train_step(model, tx, mesh: Mesh,
 
 
 def make_sharded_csc_train_step(model, tx, mesh: Mesh, loss_weights=None,
-                                **csc_kwargs) -> Callable:
+                                state=None, **csc_kwargs) -> Callable:
     """Sharded variant of the CSC/WSJDS step (CPG backprop-to-image +
     center-surround weights); same shardings as the plain step — the CPG
     pass is per-image so it shards cleanly over the data axis."""
     step = make_csc_train_step(model, tx, loss_weights, **csc_kwargs)
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
+    ssh = _state_in_shardings(model, tx, mesh, state)
     return jax.jit(
         step,
-        in_shardings=(repl, bsh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(ssh, bsh, repl),
+        out_shardings=(ssh, repl),
         donate_argnums=(0,),
     )
 

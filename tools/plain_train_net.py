@@ -31,6 +31,7 @@ from drn_wsod_tpu.engine.defaults import (_init_variables,
                                           default_setup)
 from drn_wsod_tpu.models import build_model
 from drn_wsod_tpu.parallel import (create_mesh, make_sharded_train_step,
+                                   state_shardings,
                                    replicated, shard_batch)
 from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
 
@@ -59,8 +60,8 @@ def main(args):
 
     mesh = create_mesh(tuple(cfg.PARALLEL.MESH_AXES),
                        tuple(cfg.PARALLEL.MESH_SHAPE))
-    step = make_sharded_train_step(model, tx, mesh)
-    state = jax.device_put(state, replicated(mesh))
+    step = make_sharded_train_step(model, tx, mesh, state=state)
+    state = jax.device_put(state, state_shardings(state, mesh))
     rng = jax.device_put(jax.random.PRNGKey(max(cfg.SEED, 0)),
                          replicated(mesh))
     lr_schedule = build_lr_schedule(cfg)

@@ -46,6 +46,7 @@ from drn_wsod_tpu.evaluation.evaluator import gather_and_evaluate
 from drn_wsod_tpu.models import build_model
 from drn_wsod_tpu.parallel import (create_mesh, make_sharded_csc_train_step,
                                    make_sharded_train_step, replicated,
+                                   state_shardings,
                                    shard_batch)
 from drn_wsod_tpu.parallel import multihost
 from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
@@ -251,7 +252,9 @@ def do_train(cfg, model, resume: bool = False):
 
     mesh = create_mesh(tuple(cfg.PARALLEL.MESH_AXES),
                        tuple(cfg.PARALLEL.MESH_SHAPE))
-    plain_step = make_sharded_train_step(model, tx, mesh)
+    # with a "model" axis in PARALLEL.MESH_AXES the DAN FC stack is
+    # Megatron-split over it (parallel/mesh.py:dan_tp_spec)
+    plain_step = make_sharded_train_step(model, tx, mesh, state=state)
     from drn_wsod_tpu.models.build import CSC_HEAD_NAMES
 
     if cfg.MODEL.ROI_HEADS.NAME in CSC_HEAD_NAMES:
@@ -260,7 +263,7 @@ def do_train(cfg, model, resume: bool = False):
         # after which the reference degenerates to neutral weights == the
         # plain WSDDN BCE (roi_heads_csc.py:428,481-499). Two jitted steps,
         # host-side switch on the iteration counter.
-        csc_step = make_sharded_csc_train_step(model, tx, mesh)
+        csc_step = make_sharded_csc_train_step(model, tx, mesh, state=state)
         csc_max_iter = cfg.WSL.CSC_MAX_ITER
         _trainer_box = []
 
@@ -271,7 +274,7 @@ def do_train(cfg, model, resume: bool = False):
     else:
         _trainer_box = None
         step = plain_step
-    state = jax.device_put(state, replicated(mesh))
+    state = jax.device_put(state, state_shardings(state, mesh))
 
     def sharded_iter():
         for batch in loader:
