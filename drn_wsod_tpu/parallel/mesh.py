@@ -7,8 +7,9 @@ the ``data`` axis and parameters replicated. Gradients are reduced by XLA
 collectives inserted automatically by GSPMD (the psum rides ICI), instead of
 NCCL all-reduce.
 
-The mesh is general (axis list from config), so tensor/model axes can be
-added later without touching call sites.
+Beyond the reference's DP-only design, a ``("data", "model")`` mesh
+additionally Megatron-splits the DAN FC stack (the dominant ~95% of
+trainable parameters) over the ``model`` axis — see ``dan_tp_spec``.
 """
 
 from __future__ import annotations
