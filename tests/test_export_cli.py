@@ -32,6 +32,10 @@ WSL:
     out = tmp_path / "model.stablehlo"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # prevent the sitecustomize axon-PJRT registration from dialing the
+    # (possibly stalled) TPU tunnel in the subprocess — same recipe as
+    # every other CLI subprocess test
+    env["PALLAS_AXON_POOL_IPS"] = ""
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
          "--config-file", str(cfg_path), "--output", str(out),

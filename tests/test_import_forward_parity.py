@@ -303,5 +303,10 @@ def test_imported_weights_forward_parity(head, tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
     # sanity: the comparison is not vacuous (scores have real mass)
     assert want.max() > 1e-3
-    np.testing.assert_allclose(np.asarray(boxes)[0],
-                               np.asarray(batch.proposals)[0], atol=1e-4)
+    # valid slots only: padded proposal slots are zeroed at model entry
+    # (inf/NaN poisoning guard), so they intentionally differ from the
+    # raw batch.proposals content
+    valid = np.asarray(batch.proposal_mask)[0]
+    np.testing.assert_allclose(np.asarray(boxes)[0][valid],
+                               np.asarray(batch.proposals)[0][valid],
+                               atol=1e-4)
