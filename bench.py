@@ -13,10 +13,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import jax
 import numpy as np
+
+
+def _watchdog(seconds: int = 540):
+    """The axon TPU tunnel intermittently stalls outright (observed ~2h on
+    2026-08-17); a stalled device_get would hang this process forever. Abort
+    with a diagnostic instead so the driver records a clean failure."""
+    def boom():
+        print(f"bench watchdog: no result after {seconds}s — "
+              "TPU tunnel stalled, aborting", file=sys.stderr, flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
 
 # Faster on-device PRNG for dropout masks (threefry costs ~5ms/step at this
 # batch; rbg is the standard TPU choice for throughput).
@@ -26,7 +44,7 @@ BASELINE_IMG_PER_SEC_PER_GPU = 42.1 / 8  # MODEL_ZOO.md R50-DC5, 8xV100
 
 
 def main():
-    import os
+    wd = _watchdog()
 
     from __graft_entry__ import _synthetic_batch
     from drn_wsod_tpu.config import get_cfg
@@ -68,6 +86,7 @@ def main():
         state, metrics = step(state, batch, rng)
     float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
+    wd.cancel()
 
     n_chips = jax.device_count()
     img_per_sec_per_chip = B * iters / dt / n_chips
