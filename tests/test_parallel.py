@@ -121,3 +121,32 @@ def test_tp_dp_step_matches_single_device():
     # updated params keep their tensor-parallel sharding
     fc1o = state_out.params["params"]["box_head"]["fc1"]["kernel"]
     assert not fc1o.sharding.is_fully_replicated
+
+
+def test_state_shardings_cover_multisteps_optimizer_mirrors():
+    """ITER_SIZE>1 wraps the optimizer in optax.MultiSteps; the TP spec must
+    reach the params AND every optimizer mirror (momentum trace, MultiSteps
+    acc_grads) through the shared key paths (abstract state only — no jit)."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from drn_wsod_tpu.parallel import state_shardings
+    from test_modeling import tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg("WSDDNROIHeads")
+    cfg.WSL.ITER_SIZE = 2
+    model = build_model(cfg)
+    batch = tiny_batch(B=2)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, train=True)
+    tx = build_optimizer(cfg, variables)
+    state = jax.eval_shape(lambda: create_train_state(variables, tx))
+    mesh = create_mesh(("data", "model"), (4, 2))
+    sh = state_shardings(state, mesh)
+    fc1_kernel_specs = [
+        s.spec for path, s in tree_flatten_with_path(sh)[0]
+        if "fc1" in keystr(path) and "kernel" in keystr(path)]
+    # params + momentum trace + MultiSteps acc_grads
+    assert len(fc1_kernel_specs) == 3
+    assert all(spec == jax.sharding.PartitionSpec(None, "model")
+               for spec in fc1_kernel_specs)
