@@ -84,7 +84,13 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
         3: ROW-SHARED, whole roi x-extent inside ONE roi-aligned window —
            the window pair is loaded once per y-row and reused by all R
            x-bins (masks address lanes relative to the shared start);
-        4: ROW-SHARED over TWO adjacent windows.
+        4: ROW-SHARED over TWO adjacent windows;
+        5: ROW-SHARED + DEGENERATE-Y, one window — every bin's y-RMQ pair
+           collapses (all bin spans are exactly a power of two; true for
+           every roi up to ~8 cells tall, where spans stay in {1, 2}), so
+           each y-row costs ONE load, no pair max. Small selective-search
+           proposals dominate WSOD box distributions;
+        6: ROW-SHARED + DEGENERATE-Y over TWO windows.
       bin_scale_mask: (P, R, R) f32 — 1 on on-map bins, 0 on empty bins.
     """
     Ky = _num_levels(H, R)
@@ -147,15 +153,22 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
             [mi_s, jnp.full((P, R, NW - 2), ALL_POISON, jnp.int32)], -1)
 
     # tier priority (measured per-roi vreg-op costs): shared-1-window beats
-    # everything it covers; per-bin degenerate-y beats shared-2-window.
+    # everything it covers; degenerate-y variants drop the pair load+max;
+    # per-bin degenerate-y beats shared-2-window.
     if not row_share:
         xfit1 = xfit2 = jnp.zeros_like(xfit1)
+    # deg-y shared-2-window (6) beats per-bin deg-y (0): 14 dynamic loads
+    # vs 49, and loads dominate the per-sample cost (PERF.md cost model)
     tier = jnp.where(
-        xfit1, 3,
-        jnp.where(one_w & y_deg, 0,
-                  jnp.where(xfit2, 4, jnp.where(one_w, 1, 2))))
+        xfit1 & y_deg, 5,
+        jnp.where(
+            xfit1, 3,
+            jnp.where(xfit2 & y_deg, 6,
+                      jnp.where(one_w & y_deg, 0,
+                                jnp.where(xfit2, 4,
+                                          jnp.where(one_w, 1, 2))))))
     tier = tier.astype(jnp.int32)[:, None]
-    shared = (tier[:, 0] == 3) | (tier[:, 0] == 4)
+    shared = tier[:, 0] >= 3
     x8 = jnp.where(shared[:, None], x8r[:, None], x8)
     mi = jnp.where(shared[:, None, None], mi_s, mi)
 
@@ -407,6 +420,36 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                     b0 = yb * R
                     m0 = row_windows(b0, 0)
                     m1 = row_windows(b0, 1)
+                    for xb in range(R):
+                        b = b0 + xb
+                        emit(b, jnp.maximum(masked(m0, b, 0),
+                                            masked(m1, b, 1)))
+                fin()
+
+            # degenerate-y variants: the bin's RMQ pair collapses to one
+            # row, so each y-row costs ONE load and no pair max
+            def row_window1(b0, j):
+                y0 = ys_ref[i, 2 * b0]
+                x8 = pl.multiple_of(x8_ref[i, b0], 8) + j * LX
+                return feat_ref[y0, pl.ds(x8, LX), :]
+
+            @pl.when(tier == 5)
+            def _():
+                emit, fin = make_emit()
+                for yb in range(R):          # ONE shared window per y-row
+                    b0 = yb * R
+                    m = row_window1(b0, 0)
+                    for xb in range(R):
+                        emit(b0 + xb, masked(m, b0 + xb, 0))
+                fin()
+
+            @pl.when(tier == 6)
+            def _():
+                emit, fin = make_emit()
+                for yb in range(R):          # TWO shared windows per y-row
+                    b0 = yb * R
+                    m0 = row_window1(b0, 0)
+                    m1 = row_window1(b0, 1)
                     for xb in range(R):
                         b = b0 + xb
                         emit(b, jnp.maximum(masked(m0, b, 0),

@@ -101,20 +101,24 @@ def test_pallas_all_tiers_match_xla(joint_emit, unroll):
     C = 8
     boxes = np.array(
         [
-            [4.0, 4.0, 24.0, 24.0],        # ~6x6 cells: tier 3
-            [9.0, 3.0, 40.0, 90.0],        # misaligned narrow: tier 3
+            [4.0, 4.0, 24.0, 24.0],        # ~6x6 cells, deg-y: tier 5
+            [9.0, 3.0, 40.0, 90.0],        # misaligned narrow, tall: tier 3
             [8.0, 8.0, 100.0, 100.0],      # ~24x24 cells: tier 4
+            [8.0, 8.0, 100.0, 36.0],       # 24x8 cells, deg-y: tier 6
             [2.0, 40.0, 162.0, 62.0],      # 40 cells wide, flat: tier 0
             [0.0, 0.0, 255.0, 255.0],      # whole image: tier 2
             [5.0, 0.0, 165.0, 60.0],       # 40 cells wide, 15 rows: tier 1
-            [120.0, 120.0, 126.0, 126.0],  # sub-bin tiny: tier 3
+            [120.0, 120.0, 126.0, 126.0],  # sub-bin tiny, deg-y: tier 5
             [-20.0, -20.0, 300.0, 300.0],  # out-of-map context: tier 2
+            [30.0, 30.0, 90.0, 140.0],     # 16x28 cells: tier 3
+            [40.0, 100.0, 150.0, 128.0],   # 28x7 cells, deg-y: tier 6
+            [200.0, 8.0, 230.0, 100.0],    # 8x24 cells, tall narrow: tier 3
         ],
         np.float32)
     feat = rng.randn(H, W, C).astype(np.float32)
     tiers = np.asarray(_kernel_positions(
         jnp.asarray(boxes), 0.25, H, W, 7)[3])[:, 0]
-    assert {0, 1, 2, 3, 4} <= set(tiers.tolist())
+    assert {0, 1, 2, 3, 4, 5, 6} <= set(tiers.tolist()), tiers.tolist()
 
     want = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25,
                                resolution=7))
