@@ -192,26 +192,23 @@ class GeneralizedRCNNWSL(nn.Module):
                 # (objectness + 1) * validity multiply (reference
                 # roi_heads_oicr.py:342) fuses into the kernel epilogue,
                 # saving two full passes over the ~800MB pooled tensor.
-                from ..ops.roi_pool_pallas import roi_pool_pallas
+                from ..ops.roi_pool_pallas import roi_pool_pallas_grid
 
                 obj = (objectness + 1.0) if self.use_objectness else \
                     jnp.ones_like(objectness)
                 roi_scale = obj * prop_mask.astype(obj.dtype)
 
-                # vmap folds the batch into the kernel grid (one launch,
-                # cross-image pipelining) — measured faster than unrolled
-                # per-image launches AND than the wide-CT DMA layout
-                # (38.5 vs 43.1 vs 41.5 ms, PERF.md round-2 iterations)
-                # unroll_rois=False: the row-shared tiers (5 pl.when
-                # branches) regress 3.4x when statically unrolled (code
-                # blowup); the fori form measures 36.5 ms vs 37.9 unrolled
-                # 3-tier (see PERF.md round-2 late experiments)
-                pooled = jax.vmap(
-                    lambda fmap, boxes, sc: roi_pool_pallas(
-                        fmap, boxes, scale, resolution=res,
-                        interpret=jax.default_backend() == "cpu",
-                        roi_scale=sc, unroll_rois=False)
-                )(feats, proposals, roi_scale)
+                # batch-in-grid kernel (batch as a leading grid dim of ONE
+                # launch, raw map DMA'd from HBM into a single-buffered
+                # level-stack scratch): CT reaches 1024, halving the
+                # scalar-overhead-bound bin-pass count — measured 33.8 ms
+                # vs 36.6 for the vmap'd CT=512 path (PERF.md). RB=16
+                # measured best; unroll_rois regresses the 5-tier kernel
+                # (code blowup), keep the fori form.
+                pooled = roi_pool_pallas_grid(
+                    feats, proposals, scale, resolution=res,
+                    interpret=jax.default_backend() == "cpu",
+                    roi_scale=roi_scale, roi_block=16)
                 B, P = pooled.shape[:2]
                 flat = pooled.reshape(B * P, -1)
                 feats_out = self.dan(flat, train=train)

@@ -183,7 +183,7 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                  hbm_tables=False, int8_mode=False,
                  fuse_table_build=False, H=0, row_share=True,
-                 joint_emit=True):
+                 joint_emit=True, fused_dma=False):
     """Masked-16-window formulation with per-ROI tiers (module docstring).
 
     ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
@@ -220,7 +220,36 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref,
              feat_hbm_or_vmem, out_ref) = refs[:7]
             scratch = refs[7:]
-        if fuse_table_build:
+        if fused_dma:
+            # batch-in-grid mode: grid = (B, C/CT, P/RB); the RAW padded
+            # (B, H, W8, C) map stays in HBM and each (b, c) pass DMAs its
+            # (H, W8, CT) slice into the level-0 region of a SINGLE-buffered
+            # level-stack scratch, then builds the y-RMQ levels in place.
+            # Single-buffering the raw block (vs the block pipeline's double
+            # buffer) is what lets CT reach 1024 — which HALVES the number
+            # of bin-passes the scalar-overhead-bound inner loop runs.
+            tab_ref, feat_ref, copy_sem = scratch
+            b_id, c_id = pl.program_id(0), pl.program_id(1)
+
+            @pl.when(pl.program_id(2) == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    feat_hbm_or_vmem.at[b_id, :, :, pl.ds(c_id * CT, CT)],
+                    feat_ref.at[pl.ds(0, H)], copy_sem)
+                cp.start()
+                cp.wait()
+                Ky = feat_ref.shape[0] // H
+                for k in range(1, Ky):
+                    d = 1 << (k - 1)
+                    lo = (k - 1) * H
+                    if d >= H:
+                        feat_ref[k * H:(k + 1) * H] = feat_ref[lo:lo + H]
+                        continue
+                    feat_ref[k * H:k * H + H - d] = jnp.maximum(
+                        feat_ref[lo:lo + H - d], feat_ref[lo + d:lo + H])
+                    feat_ref[k * H + H - d:(k + 1) * H] = \
+                        feat_ref[lo + H - d:lo + H]
+        elif fuse_table_build:
             tab_ref, feat_ref = scratch       # feat_ref: level-stack scratch
             raw_ref = feat_hbm_or_vmem        # (H, W8, CT) block
 
@@ -257,7 +286,11 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             feat_ref = feat_hbm_or_vmem
 
         # Fill the mask table once (scratch persists across grid steps).
-        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        _first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+        if fused_dma:
+            _first = _first & (pl.program_id(2) == 0)
+
+        @pl.when(_first)
         def _():
             # Build in f32 (i1 masks from i32 compares have (8, 128) tiling,
             # which Mosaic cannot relayout into a bf16 (16, 128) select).
@@ -281,6 +314,19 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                 y = ys_ref[i, 2 * b + sy]    # ky*H + row (RMQ window pair)
                 x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
                 w = feat_ref[y, pl.ds(x8, LX), :]
+                t = tab_ref[mi_ref[i, NW * b + j]]
+                return jnp.minimum(w, t) if int8_mode else w + t
+
+            def win_pair(b, j):
+                # The mask table entry is shared by both rows of a bin's
+                # y-RMQ pair, so max BEFORE masking saves one (16, CT) op
+                # per window: max(w0 + t, w1 + t) == max(w0, w1) + t
+                # (min for the int8 poison likewise).
+                y0 = ys_ref[i, 2 * b]
+                y1 = ys_ref[i, 2 * b + 1]
+                x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
+                w = jnp.maximum(feat_ref[y0, pl.ds(x8, LX), :],
+                                feat_ref[y1, pl.ds(x8, LX), :])
                 t = tab_ref[mi_ref[i, NW * b + j]]
                 return jnp.minimum(w, t) if int8_mode else w + t
 
@@ -369,8 +415,8 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             @pl.when(tier == 1)
             def _():
                 emit, fin = make_emit()
-                for b in range(R * R):       # 2 samples/bin
-                    emit(b, jnp.maximum(win(b, 0, 0), win(b, 1, 0)))
+                for b in range(R * R):       # 2 samples/bin, 1 shared mask
+                    emit(b, win_pair(b, 0))
                 fin()
 
             @pl.when(tier == 2)
@@ -378,10 +424,9 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                 emit, fin = make_emit()
                 for b in range(R * R):       # 2*NW samples/bin (rare rois)
                     acc = None
-                    for sy in range(2):
-                        for j in range(NW):
-                            t = win(b, sy, j)
-                            acc = t if acc is None else jnp.maximum(acc, t)
+                    for j in range(NW):
+                        t = win_pair(b, j)
+                        acc = t if acc is None else jnp.maximum(acc, t)
                     emit(b, acc)
                 fin()
 
@@ -491,6 +536,98 @@ def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
             interpret=interpret,
             roi_scale=None if roi_scale is None else roi_scale[b]))
     return jnp.stack(outs)
+
+
+@partial(jax.jit, static_argnames=("spatial_scale", "resolution",
+                                   "roi_block", "c_tile", "interpret",
+                                   "unroll_rois", "row_share"))
+def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
+                         spatial_scale: float, resolution: int = 7,
+                         roi_block: int = 8, c_tile: int = 1024,
+                         interpret: bool = False,
+                         roi_scale: jnp.ndarray | None = None,
+                         unroll_rois: bool = False,
+                         row_share: bool = True) -> jnp.ndarray:
+    """Batch-in-grid exact RoIPool: (B, H, W, C) + (B, P, 4) -> (B, P, R, R, C).
+
+    Same masked-16-window / y-RMQ / tiered formulation as
+    :func:`roi_pool_pallas`, but the batch is a leading GRID dimension of one
+    pallas_call instead of a ``jax.vmap`` (vmap's BlockSpec rewrite cannot
+    carry ANY-memory-space inputs), and the raw feature map stays in HBM with
+    a per-(b, c)-pass DMA into a SINGLE-buffered level-stack scratch. Freeing
+    the block pipeline's double buffer is what lets the channel tile reach
+    1024: bin-passes (P * R^2 * C/CT), whose fixed per-pass scalar overhead
+    bounds the kernel, HALVE vs the CT=512 vmap path.
+    """
+    B, H, W, C = features.shape
+    P = boxes.shape[1]
+    R = resolution
+    RB = min(roi_block, P)
+    while P % RB != 0:
+        RB //= 2
+
+    Ky = _num_levels(H, R)
+    NW = max(_load_extent(W, R), 2)
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    n_masks = LX * LX + 1
+    itemsize = jnp.dtype(features.dtype).itemsize
+
+    def footprint(ct):
+        table = Ky * H * W8 * ct * itemsize           # single-buffered
+        masks = n_masks * LX * ct * itemsize
+        out_blk = 2 * RB * R * R * ct * itemsize      # double-buffered
+        return table + masks + out_blk
+
+    CT = min(c_tile, C)
+    while C % CT != 0:
+        CT //= 2
+    while CT > 128 and footprint(CT) > _VMEM_BUDGET:
+        CT //= 2
+
+    pos = jax.vmap(lambda bx: _kernel_positions(
+        bx, spatial_scale, H, W, R, row_share=row_share))(boxes)
+    ys, x8, mi, tier, valid = pos
+    if roi_scale is None:
+        roi_scale = jnp.ones((B, P), jnp.float32)
+    bin_scale = (roi_scale.astype(jnp.float32)[:, :, None, None]
+                 * valid).reshape(B, P, R * R)
+
+    raw = jnp.pad(features, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
+
+    neg_val = float(jnp.finfo(features.dtype).min) / 2
+    grid = (B, C // CT, P // RB)
+    smem_specs = [
+        pl.BlockSpec((None, RB, R * R * 2), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R * R), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R * R * NW), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, 1), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R * R), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    scratch = [pltpu.VMEM((n_masks, LX, CT), features.dtype),
+               pltpu.VMEM((Ky * H, W8, CT), features.dtype),
+               pltpu.SemaphoreType.DMA]
+    out = pl.pallas_call(
+        _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
+                     unroll_rois=unroll_rois, H=H,
+                     row_share=row_share, joint_emit=False,
+                     fused_dma=True),
+        grid=grid,
+        in_specs=smem_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((None, RB, R * R, CT),
+                               lambda b, c, r: (b, r, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, R * R, C), features.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(ys, x8, mi, tier, bin_scale, raw)
+    return out.reshape(B, P, R, R, C)
 
 
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",

@@ -128,3 +128,53 @@ def test_pallas_all_tiers_match_xla(joint_emit, unroll):
                                      joint_emit=joint_emit,
                                      unroll_rois=unroll))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_grid_batched_matches_xla():
+    """Batch-in-grid kernel (leading batch grid dim + fused-DMA single-buffer
+    table build) matches the XLA formulation per image, including the fused
+    per-roi scale epilogue."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas_grid
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, P = 2, 24, 24, 16, 8
+    feat = rng.randn(B, H, W, C).astype(np.float32)
+    x1 = rng.uniform(0, W * 4, (B, P)).astype(np.float32)
+    y1 = rng.uniform(0, H * 4, (B, P)).astype(np.float32)
+    bw = rng.uniform(8, 90, (B, P)).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bw], -1)
+    scale = rng.uniform(1, 2, (B, P)).astype(np.float32)
+
+    got = np.asarray(roi_pool_pallas_grid(
+        jnp.asarray(feat), jnp.asarray(boxes), 0.25, resolution=7,
+        roi_block=4, c_tile=8, interpret=True,
+        roi_scale=jnp.asarray(scale)))
+    for b in range(B):
+        want = np.asarray(roi_pool(jnp.asarray(feat[b]),
+                                   jnp.asarray(boxes[b]), 0.25,
+                                   resolution=7, samples=2))
+        want = want * scale[b][:, None, None, None]
+        np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+
+def test_fast_dropout_exact_bernoulli_half():
+    """FastDropout(0.5): zeros ~half the entries, doubles the survivors,
+    and is deterministic per rng key."""
+    import jax
+
+    from drn_wsod_tpu.models.heads.box_head import FastDropout
+
+    x = jnp.ones((512, 64), jnp.float32)
+    mod = FastDropout(0.5)
+    y = mod.apply({}, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(3)})
+    y = np.asarray(y)
+    assert set(np.unique(y)) <= {0.0, 2.0}
+    frac = (y == 2.0).mean()
+    assert 0.45 < frac < 0.55
+    y2 = np.asarray(mod.apply({}, x, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(3)}))
+    np.testing.assert_array_equal(y, y2)
+    yd = np.asarray(mod.apply({}, x, deterministic=True))
+    np.testing.assert_array_equal(yd, np.ones_like(yd))
