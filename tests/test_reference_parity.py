@@ -128,3 +128,84 @@ def test_box_deltas_match_torch_formula():
                                atol=1e-5)
     rec = apply_deltas(d, jnp.asarray(src), wts)
     np.testing.assert_allclose(np.asarray(rec), tgt, rtol=1e-3, atol=1e-2)
+
+
+def test_wsddn_oicr_gradient_parity_vs_torch():
+    """END-TO-END GRADIENT parity: d(total WSOD loss)/d(head weights) matches
+    torch autograd on an independent re-implementation of the reference's
+    training objective (WSDDN image BCE + one OICR refinement branch with
+    detached mining, reference fast_rcnn.py:317-368, 1128-1144 and
+    roi_heads_oicr.py:356-397). Exercises the parity-critical gradient paths
+    the loss-value tests don't: masked per-image det-stream softmax, the
+    [1e-6, 1-1e-6] clamp, stop-gradient mining weights, and weighted-CE
+    normalization. Includes PADDED proposal slots (mask False)."""
+    import jax
+
+    from drn_wsod_tpu.models.heads import oicr as oicr_lib
+
+    rng = np.random.RandomState(1)
+    P, V, C, D = 32, 24, 20, 16          # P slots, V valid
+    feats = rng.randn(P, D).astype(np.float32)
+    w_cls = (rng.randn(D, C) * 0.1).astype(np.float32)
+    w_det = (rng.randn(D, C) * 0.1).astype(np.float32)
+    w_ref = (rng.randn(D, C + 1) * 0.1).astype(np.float32)
+    labels = np.zeros(C, dtype=np.float32)
+    labels[[3, 8]] = 1.0
+    mask = np.zeros(P, bool)
+    mask[:V] = True
+    x1 = rng.uniform(0, 60, P).astype(np.float32)
+    y1 = rng.uniform(0, 60, P).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(8, 40, P),
+                      y1 + rng.uniform(8, 40, P)], -1).astype(np.float32)
+
+    # ---- JAX side: the actual library composition (mirrors meta_arch)
+    def jax_loss(params):
+        wc, wd, wr = params
+        layer = wsddn.WSDDNOutputLayers(num_classes=C)
+        p = {"params": {"cls": {"kernel": wc, "bias": jnp.zeros(C)},
+                        "det": {"kernel": wd, "bias": jnp.zeros(C)}}}
+        scores = layer.apply(p, jnp.asarray(feats)[None],
+                             jnp.asarray(mask)[None])      # (1, P, C)
+        loss = wsddn.wsddn_loss(scores, jnp.asarray(labels)[None],
+                                mean_loss=True)
+        ev = jax.lax.stop_gradient(wsddn.image_probs(scores))[0]
+        prev = jax.lax.stop_gradient(scores)[0]
+        pgt = oicr_lib.mine_pgt(prev, jnp.asarray(boxes), jnp.asarray(mask),
+                                jnp.asarray(labels), ev)
+        tg = oicr_lib.label_proposals(pgt, jnp.asarray(boxes),
+                                      jnp.asarray(mask))
+        tg = jax.tree.map(lambda x: x[None], tg)           # batch dim
+        logits = (jnp.asarray(feats) @ wr)[None]           # (1, P, C+1)
+        return loss + oicr_lib.refinement_loss(logits, tg), tg
+
+    (jl, targets), grads = jax.value_and_grad(jax_loss, has_aux=True)(
+        (jnp.asarray(w_cls), jnp.asarray(w_det), jnp.asarray(w_ref)))
+    gt_class = np.asarray(targets.gt_class[0] if targets.gt_class.ndim == 2
+                          else targets.gt_class)
+    weight = np.asarray(targets.weight[0] if targets.weight.ndim == 2
+                        else targets.weight)
+
+    # ---- torch side: independent formulas over the VALID rows only,
+    # reusing the (integer, gradient-free) mined assignment from above
+    tw_cls = torch.tensor(w_cls, requires_grad=True)
+    tw_det = torch.tensor(w_det, requires_grad=True)
+    tw_ref = torch.tensor(w_ref, requires_grad=True)
+    f = torch.from_numpy(feats[:V])
+    scores = (F.softmax(f @ tw_cls, dim=1)
+              * F.softmax(f @ tw_det, dim=0))               # (V, C)
+    img = scores.sum(dim=0, keepdim=True).clamp(1e-6, 1 - 1e-6)
+    tl = F.binary_cross_entropy(img, torch.from_numpy(labels)[None],
+                                reduction="mean")
+    logits = torch.from_numpy(feats) @ tw_ref               # (P, C+1)
+    ce = F.cross_entropy(logits, torch.from_numpy(gt_class).long(),
+                         reduction="none", ignore_index=-1)
+    w = torch.from_numpy(weight)
+    tl = tl + (ce * w).sum() / (w > 1e-12).float().sum()
+    tl.backward()
+
+    np.testing.assert_allclose(float(jl), float(tl.detach()), rtol=2e-4)
+    for got, want, name in [(grads[0], tw_cls.grad, "w_cls"),
+                            (grads[1], tw_det.grad, "w_det"),
+                            (grads[2], tw_ref.grad, "w_ref")]:
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=5e-4, atol=1e-7, err_msg=name)
