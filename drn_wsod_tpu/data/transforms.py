@@ -161,6 +161,136 @@ class CropTransform(Transform):
         raise NotImplementedError("crop inverse not needed (train only)")
 
 
+class BlendTransform(Transform):
+    """Photometric blend ``src_weight * src + dst_weight * img`` — geometry
+    is untouched (reference transform.py BlendTransform)."""
+
+    def __init__(self, src_image, src_weight: float, dst_weight: float):
+        self.src_image = src_image
+        self.src_weight = src_weight
+        self.dst_weight = dst_weight
+
+    def apply_image(self, img):
+        out = self.src_weight * self.src_image + self.dst_weight * \
+            img.astype(np.float32)
+        if np.issubdtype(np.asarray(img).dtype, np.integer):
+            return np.clip(out, 0, 255).astype(np.asarray(img).dtype)
+        return out.astype(np.asarray(img).dtype)
+
+    def apply_coords(self, coords):
+        return coords
+
+    def apply_segmentation(self, seg):
+        return seg
+
+    def inverse(self):
+        raise NotImplementedError("photometric blends are not invertible")
+
+
+class ExtentTransform(Transform):
+    """Resample a sub-rect (possibly beyond the bounds, zero-padded) to a
+    fixed output size (reference transform.py ExtentTransform)."""
+
+    def output_size(self, hw):
+        return self.out_hw
+
+    def __init__(self, src_rect, output_size):
+        self.src_rect = tuple(float(v) for v in src_rect)  # x0, y0, x1, y1
+        self.out_hw = tuple(int(v) for v in output_size)   # (h, w)
+
+    def apply_image(self, img):
+        from PIL import Image
+
+        h, w = self.out_hw
+        pil = Image.fromarray(np.asarray(img))
+        out = pil.transform((w, h), Image.EXTENT, self.src_rect,
+                            Image.BILINEAR)
+        return np.asarray(out)
+
+    def apply_segmentation(self, seg):
+        from PIL import Image
+
+        h, w = self.out_hw
+        pil = Image.fromarray(np.asarray(seg))
+        out = pil.transform((w, h), Image.EXTENT, self.src_rect,
+                            Image.NEAREST)
+        return np.asarray(out)
+
+    def apply_coords(self, coords):
+        x0, y0, x1, y1 = self.src_rect
+        h, w = self.out_hw
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] = (coords[:, 0] - x0) * (w / max(x1 - x0, 1e-6))
+        coords[:, 1] = (coords[:, 1] - y0) * (h / max(y1 - y0, 1e-6))
+        return coords
+
+    def inverse(self):
+        raise NotImplementedError("extent inverse not needed (train only)")
+
+
+class RotationTransform(Transform):
+    """Rotate by ``angle`` degrees counterclockwise around the image center,
+    optionally expanding the canvas to fit (reference
+    transform.py RotationTransform — cv2 there, PIL here)."""
+
+    def output_size(self, hw):
+        return (self.new_h, self.new_w)
+
+    def __init__(self, h: int, w: int, angle: float, expand: bool = True):
+        self.h, self.w, self.angle, self.expand = h, w, float(angle), expand
+        rad = np.deg2rad(self.angle)
+        self._cos, self._sin = np.cos(rad), np.sin(rad)
+        # snap float fuzz at right angles so expanded sizes are exact
+        if abs(self._cos) < 1e-12:
+            self._cos = 0.0
+        if abs(self._sin) < 1e-12:
+            self._sin = 0.0
+        if expand:
+            self.new_w = int(np.ceil(abs(w * self._cos) + abs(h * self._sin)))
+            self.new_h = int(np.ceil(abs(h * self._cos) + abs(w * self._sin)))
+        else:
+            self.new_h, self.new_w = h, w
+
+    def _rotate_img(self, img, resample):
+        from PIL import Image
+
+        pil = Image.fromarray(np.asarray(img))
+        out = pil.rotate(self.angle, resample=resample, expand=self.expand)
+        return np.asarray(out)
+
+    def apply_image(self, img):
+        from PIL import Image
+
+        return self._rotate_img(img, Image.BILINEAR)
+
+    def apply_segmentation(self, seg):
+        from PIL import Image
+
+        return self._rotate_img(seg, Image.NEAREST)
+
+    def apply_coords(self, coords):
+        coords = coords.astype(np.float32).copy()
+        cx, cy = self.w / 2, self.h / 2
+        ncx, ncy = self.new_w / 2, self.new_h / 2
+        x = coords[:, 0] - cx
+        y = coords[:, 1] - cy
+        # image-space y grows downward: CCW rotation by `angle`
+        coords[:, 0] = x * self._cos + y * self._sin + ncx
+        coords[:, 1] = -x * self._sin + y * self._cos + ncy
+        return coords
+
+    def inverse(self):
+        assert self.expand, "inverse only defined for expand=True"
+        inv = RotationTransform(self.new_h, self.new_w, -self.angle,
+                                expand=True)
+        # the inverse canvas of an expanded rotation is larger than the
+        # original: crop back to (h, w) around the center
+        crop = CropTransform(
+            (inv.new_w - self.w) // 2, (inv.new_h - self.h) // 2,
+            self.w, self.h, orig_w=inv.new_w, orig_h=inv.new_h)
+        return TransformList([inv, crop])
+
+
 # ---------------------------------------------------------------------------
 # Random augmentations (return Transform given an image + rng)
 # ---------------------------------------------------------------------------
@@ -244,6 +374,112 @@ class RandomCrop(Augmentation):
             ch, cw = lo + rng.rand(2) * (1 - lo)
             return int(h * ch + 0.5), int(w * cw + 0.5)
         return (min(int(self.crop_size[0]), h), min(int(self.crop_size[1]), w))
+
+
+class RandomRotation(Augmentation):
+    """Rotate by an angle from ``angle`` (list = choice, 2-list w/
+    sample_style='range' = uniform range; reference
+    augmentation_impl.py RandomRotation)."""
+
+    def __init__(self, angle, expand: bool = True,
+                 sample_style: str = "range"):
+        if isinstance(angle, (int, float)):
+            angle = (angle,)
+        self.angle = tuple(float(a) for a in angle)
+        self.expand = expand
+        self.sample_style = sample_style
+
+    def get_transform(self, image, rng):
+        if self.sample_style == "range" and len(self.angle) == 2:
+            a = float(rng.uniform(self.angle[0], self.angle[1]))
+        else:
+            a = self.angle[int(rng.randint(len(self.angle)))]
+        if a % 360 == 0:
+            return NoOpTransform()
+        h, w = image.shape[:2]
+        return RotationTransform(h, w, a, expand=self.expand)
+
+
+class RandomExtent(Augmentation):
+    """Crop a random sub-rect (scaled and shifted, possibly out of bounds)
+    and resample it to the original size (reference
+    augmentation_impl.py RandomExtent)."""
+
+    def __init__(self, scale_range, shift_range):
+        self.scale_range = tuple(scale_range)
+        self.shift_range = tuple(shift_range)
+
+    def get_transform(self, image, rng):
+        h, w = image.shape[:2]
+        rect = np.array([-0.5 * w, -0.5 * h, 0.5 * w, 0.5 * h], np.float32)
+        rect *= rng.uniform(self.scale_range[0], self.scale_range[1])
+        rect[0::2] += self.shift_range[0] * w * (rng.rand() - 0.5)
+        rect[1::2] += self.shift_range[1] * h * (rng.rand() - 0.5)
+        rect[0::2] += 0.5 * w
+        rect[1::2] += 0.5 * h
+        return ExtentTransform(rect, (int(rect[3] - rect[1]),
+                                      int(rect[2] - rect[0])))
+
+
+class RandomBrightness(Augmentation):
+    """Scale intensity by w in [intensity_min, intensity_max] (reference
+    augmentation_impl.py RandomBrightness: blend against black)."""
+
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image, rng):
+        w = rng.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(0.0, src_weight=1 - w, dst_weight=w)
+
+
+class RandomContrast(Augmentation):
+    """Blend against the mean intensity (reference RandomContrast)."""
+
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image, rng):
+        w = rng.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(float(np.asarray(image, np.float32).mean()),
+                              src_weight=1 - w, dst_weight=w)
+
+
+class RandomSaturation(Augmentation):
+    """Blend against the per-pixel grayscale (reference RandomSaturation;
+    expects BGR like the data pipeline)."""
+
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.intensity_min, self.intensity_max = intensity_min, intensity_max
+
+    def get_transform(self, image, rng):
+        assert image.shape[-1] == 3, "RandomSaturation needs BGR"
+        w = rng.uniform(self.intensity_min, self.intensity_max)
+        # BGR weights (reference uses RGB [0.299, 0.587, 0.114] on its
+        # RGB-ordered input; the pipeline here carries BGR)
+        gray = (np.asarray(image, np.float32)
+                @ np.array([0.114, 0.587, 0.299], np.float32))[..., None]
+        return BlendTransform(gray, src_weight=1 - w, dst_weight=w)
+
+
+class RandomLighting(Augmentation):
+    """AlexNet-style PCA color jitter (reference RandomLighting; eigen
+    vectors/values over ImageNet, BGR order)."""
+
+    _EIGVEC = np.array([[-0.5675, 0.7192, 0.4009],
+                        [-0.5808, -0.0045, -0.8140],
+                        [-0.5836, -0.6948, 0.4203]], np.float32)[:, ::-1]
+    _EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+
+    def __init__(self, scale: float):
+        self.scale = scale
+
+    def get_transform(self, image, rng):
+        assert image.shape[-1] == 3, "RandomLighting needs BGR"
+        weights = rng.normal(scale=self.scale, size=3).astype(np.float32)
+        shift = self._EIGVEC @ (weights * self._EIGVAL)
+        return BlendTransform(shift[None, None, :], src_weight=1.0,
+                              dst_weight=1.0)
 
 
 def apply_augmentations(augs: Sequence[Augmentation], image: np.ndarray,

@@ -67,3 +67,77 @@ def test_apply_augmentations_pipeline():
     boxes = np.array([[0, 0, 200, 100]], dtype=np.float32)
     tb = tfms.apply_box(boxes)
     np.testing.assert_allclose(tb, [[0, 0, 100, 50]])
+
+
+def test_rotation_transform_coords_and_inverse():
+    """90-degree expanded rotation maps corners exactly and round-trips
+    through inverse() (reference RotationTransform semantics)."""
+    from drn_wsod_tpu.data.transforms import RotationTransform
+
+    h, w = 20, 40
+    t = RotationTransform(h, w, 90, expand=True)
+    assert (t.new_h, t.new_w) == (w, h)
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    out = t.apply_image(img)
+    assert out.shape[:2] == (w, h)
+    # CCW 90: (x, y) -> (y, new_h - x) in image coords
+    pts = np.array([[0.0, 0.0], [w, 0.0], [w, h], [5.0, 7.0]])
+    got = t.apply_coords(pts.copy())
+    want = np.stack([pts[:, 1], w - pts[:, 0]], -1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    inv = t.inverse()
+    back = inv.apply_coords(got.copy())
+    np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_random_rotation_zero_angle_noop():
+    from drn_wsod_tpu.data.transforms import NoOpTransform, RandomRotation
+
+    rng = np.random.RandomState(0)
+    img = np.zeros((8, 8, 3), np.uint8)
+    t = RandomRotation([0.0], sample_style="choice").get_transform(img, rng)
+    assert isinstance(t, NoOpTransform)
+
+
+def test_photometric_blends_match_formulas():
+    from drn_wsod_tpu.data import transforms as T
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+
+    bt = T.RandomBrightness(0.7, 0.7).get_transform(img, rng)
+    np.testing.assert_allclose(bt.apply_image(img),
+                               np.clip(img * 0.7, 0, 255).astype(np.uint8),
+                               atol=1)  # f32 vs f64 rounding at the cast
+    # geometry untouched
+    pts = np.array([[1.0, 2.0]])
+    np.testing.assert_array_equal(bt.apply_coords(pts.copy()), pts)
+
+    ct = T.RandomContrast(1.2, 1.2).get_transform(img, rng)
+    want = np.clip(img.astype(np.float32).mean() * -0.2 + img * 1.2,
+                   0, 255).astype(np.uint8)
+    np.testing.assert_allclose(ct.apply_image(img), want, atol=1)
+
+    st = T.RandomSaturation(0.0, 0.0).get_transform(img, rng)
+    gray = img.astype(np.float32) @ np.array([0.114, 0.587, 0.299],
+                                             np.float32)
+    np.testing.assert_allclose(
+        st.apply_image(img).astype(np.float32),
+        np.clip(gray[..., None], 0, 255).astype(np.uint8)
+        .astype(np.float32).repeat(3, -1), atol=1.0)
+
+    lt = T.RandomLighting(0.1).get_transform(img, rng)
+    out = lt.apply_image(img)
+    assert out.shape == img.shape and out.dtype == img.dtype
+
+
+def test_random_extent_coords():
+    """ExtentTransform maps the sub-rect linearly onto the output frame."""
+    from drn_wsod_tpu.data.transforms import ExtentTransform
+
+    t = ExtentTransform((10.0, 5.0, 30.0, 25.0), (40, 40))
+    got = t.apply_coords(np.array([[10.0, 5.0], [30.0, 25.0], [20.0, 15.0]]))
+    np.testing.assert_allclose(got, [[0, 0], [40, 40], [20, 20]], atol=1e-5)
+    img = np.random.RandomState(0).randint(
+        0, 255, (28, 36, 3)).astype(np.uint8)
+    assert t.apply_image(img).shape == (40, 40, 3)
