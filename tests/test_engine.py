@@ -119,3 +119,33 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(restored.params["params"]["w"]),
                                float(state2.params["params"]["w"]))
     assert ck.latest_step() == 1
+
+
+def test_scanned_multi_step_matches_dispatched():
+    """bench.py's single-dispatch lax.scan of the train step must produce the
+    same trajectory as per-step dispatches (same fold_in(rng, step) chain)."""
+    model = _ToyModel()
+    tx = optax.sgd(0.1)
+    raw_step = make_train_step(model, tx)
+    batch = jnp.asarray(1.0)
+    rng = jax.random.PRNGKey(0)
+    K = 5
+
+    state_a = create_train_state({"params": {"w": jnp.asarray(5.0)}}, tx)
+    step = jax.jit(raw_step)
+    for _ in range(K):
+        state_a, metrics = step(state_a, batch, rng)
+
+    def multi(state, batch, rng):
+        def body(st, _):
+            st, m = raw_step(st, batch, rng)
+            return st, m["total_loss"]
+        return jax.lax.scan(body, state, None, length=K)
+
+    state_b, losses = jax.jit(multi)(
+        create_train_state({"params": {"w": jnp.asarray(5.0)}}, tx),
+        batch, rng)
+    assert losses.shape == (K,)
+    assert jnp.allclose(state_a.params["params"]["w"],
+                        state_b.params["params"]["w"])
+    assert int(state_b.step) == K
