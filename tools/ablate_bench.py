@@ -74,13 +74,38 @@ def main():
         return model.apply(variables, batch, method="inference_scores")
     timeit(infer, state.params, batch, name="inference_scores fwd")
 
-    # ---- pool kernel alone
-    from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas
+    # ---- K steps in ONE dispatch (no tunnel enqueue cost per step)
+    raw_step = make_train_step(model, tx)
+    K = 10
+
+    def multi(state, batch, rng):
+        def body(st, _):
+            st, m = raw_step(st, batch, rng)
+            return st, m["total_loss"]
+        return jax.lax.scan(body, state, None, length=K)
+
+    mstep = jax.jit(multi)
+    ms = timeit(mstep, state, batch, rng,
+                iters=2, name=f"scanned {K}-step dispatch (total)")
+    print(f"{'  -> per step':55s} {ms / K:8.2f} ms")
+
+    # ---- pool kernel alone (the shipped batch-in-grid path, flagship knobs)
+    from drn_wsod_tpu.ops.roi_pool_pallas import (roi_pool_pallas,
+                                                  roi_pool_pallas_grid)
     C = 2048
     Hf = H // 8
     feats = jax.random.normal(rng, (Hf, Hf, C), jnp.bfloat16)
     boxes = batch.proposals[0]
     scale = jnp.ones((P,), jnp.float32)
+
+    @jax.jit
+    def pool_grid(feats, boxes, scale):
+        return roi_pool_pallas_grid(
+            jnp.broadcast_to(feats, (B, Hf, Hf, C)),
+            jnp.broadcast_to(boxes, (B, P, 4)), 0.125, 7,
+            roi_scale=jnp.broadcast_to(scale, (B, P)), roi_block=16)
+    timeit(pool_grid, feats, boxes, scale,
+           name=f"pallas pool grid CT=1024 (B={B})")
 
     @jax.jit
     def pool_b(feats, boxes, scale):
@@ -90,7 +115,8 @@ def main():
             jnp.broadcast_to(feats, (B, Hf, Hf, C)),
             jnp.broadcast_to(boxes, (B, P, 4)),
             jnp.broadcast_to(scale, (B, P)))
-    timeit(pool_b, feats, boxes, scale, name=f"pallas pool alone (B={B})")
+    timeit(pool_b, feats, boxes, scale,
+           name=f"pallas pool vmap CT=512 (B={B})")
 
     # ---- FC1 alone (fwd)
     D = 2048
