@@ -40,7 +40,8 @@ def main():
     fence(x @ x)
     print(f"health probe (warm):        {time.perf_counter() - t0:.3f}s")
 
-    # ---- dispatch rate: chained donated adds (cannot be elided or batched)
+    # ---- dispatch rate: data-dependent chained adds (each call consumes the
+    # previous result, so dispatches cannot be elided or batched)
     @jax.jit
     def bump(v):
         return v + 1.0

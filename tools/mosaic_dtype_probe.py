@@ -9,14 +9,12 @@ on ANY int8 VPU op. int8 tables would cut the pool kernel's vector bytes 2x
 / uint8 so the kernel can auto-select a working narrow dtype per toolchain.
 """
 
-import functools
 import os
 import sys
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def probe(dtype) -> str:
