@@ -245,6 +245,14 @@ def get_cfg() -> CfgNode:
     _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
     _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
     _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    # K train steps per XLA dispatch (lax.scan over the donated state,
+    # engine/trainer.py:make_multi_train_step). Removes per-dispatch enqueue
+    # overhead (~5 ms/step through a remote-TPU tunnel, PERF.md). The
+    # effective K is gcd-reduced against every active hook period so
+    # periodic hooks observe exactly the state they would have seen eagerly;
+    # 1 disables chunking (CSC/WSJDS training forces 1: it switches step
+    # programs on a host-side iteration counter).
+    _C.SOLVER.STEPS_PER_DISPATCH = 20
 
     # -------------------------------------------------------------------- test
     _C.TEST = CfgNode()

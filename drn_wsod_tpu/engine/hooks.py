@@ -49,6 +49,17 @@ class IterationTimer(HookBase):
     def after_train(self):
         total = time.perf_counter() - self._start_time
         logger.info(f"Total training time: {total:.2f}s")
+        # reference hooks.py:109-127 "Overall training speed" line — scraped
+        # by dev/parse_results.sh
+        try:
+            hist = get_event_storage().history("time")
+            vals = [v for v, _ in hist.values()]
+            if vals:
+                logger.info(
+                    f"Overall training speed: {len(vals)} iterations in "
+                    f"{sum(vals):.1f}s ({sum(vals) / len(vals):.4f} s / it)")
+        except KeyError:
+            pass
 
     def before_step(self):
         self._step_start = time.perf_counter()
@@ -56,7 +67,15 @@ class IterationTimer(HookBase):
     def after_step(self):
         storage = get_event_storage()
         it = self.trainer.iter - self.trainer.start_iter
-        if it >= self._warmup_iter:
+        if it < self._warmup_iter:
+            return
+        # chunked (K-steps-per-dispatch) trainer: per-step wall clock is
+        # meaningless (the dispatch is async); the trainer publishes the
+        # fenced chunk time / K instead.
+        chunk = getattr(self.trainer, "last_chunk_step_time", None)
+        if chunk is not None:
+            storage.put_scalar("time", chunk, smoothing_hint=True)
+        elif getattr(self.trainer, "_steps_per_dispatch", 1) == 1:
             storage.put_scalar("time", time.perf_counter() - self._step_start,
                                smoothing_hint=True)
 

@@ -11,7 +11,15 @@ TPU specifics:
   * metrics stay on device and are only fetched when a writer fires, so the
     loop never blocks on a host sync per step;
   * gradient accumulation (WSL.ITER_SIZE) is inside the optimizer
-    (optax.MultiSteps), not the host loop.
+    (optax.MultiSteps), not the host loop;
+  * optionally, K steps execute inside ONE dispatch (``lax.scan`` over the
+    donated state and a K-stacked batch — ``make_multi_train_step``):
+    per-dispatch enqueue bookkeeping (~5 ms/step through a remote-TPU
+    tunnel, PERF.md dispatch bisect) is paid once per K steps instead of
+    per step. Hook semantics are exact when K divides every hook period
+    (the CLI picks K = gcd(SOLVER.STEPS_PER_DISPATCH, all active periods),
+    tools/train_net.py), because then every firing hook observes the same
+    end-of-chunk state it would have seen eagerly.
 """
 
 from __future__ import annotations
@@ -70,6 +78,27 @@ def make_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = None
         return new_state, metrics
 
     return train_step
+
+
+def make_multi_train_step(raw_step: Callable) -> Callable:
+    """Scan ``raw_step`` over a K-stacked batch pytree: one XLA dispatch
+    executes K train steps back to back.
+
+    ``stacked_batch`` leaves carry a leading steps axis; ``lax.scan`` infers
+    K from it, so one compile covers each distinct K. The per-step RNG chain
+    is identical to eager dispatch (``fold_in(rng, state.step)`` inside
+    ``raw_step``), so the trajectory matches per-step dispatching bit for bit
+    (tests/test_engine.py::test_scanned_multi_step_matches_dispatched and
+    ::test_trainer_chunked_matches_eager)."""
+
+    def multi_step(state: TrainState, stacked_batch, rng):
+        def body(st, batch):
+            st, m = raw_step(st, batch, rng)
+            return st, m
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return multi_step
 
 
 def make_csc_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = None,
@@ -144,19 +173,34 @@ class Trainer:
     def __init__(self, step_fn: Callable, state: TrainState,
                  data_iter: Iterator, rng: jax.Array,
                  lr_schedule: Optional[Callable] = None,
-                 log_period: int = 20):
+                 log_period: int = 20,
+                 multi_step_fn: Optional[Callable] = None,
+                 steps_per_dispatch: int = 1,
+                 stack_fn: Optional[Callable] = None):
+        """``multi_step_fn(state, stacked_batch, rng)`` (see
+        ``make_multi_train_step``) + ``steps_per_dispatch`` K > 1 switch the
+        loop to chunked execution: K batches are pulled, stacked by
+        ``stack_fn`` (default: host ``np.stack`` per leaf), and dispatched as
+        ONE scan. Hooks still fire per iteration; a hook firing at a
+        non-chunk-final iteration observes the end-of-chunk state, so pick K
+        dividing every hook period for exact parity with eager stepping (the
+        CLI does, tools/train_net.py)."""
         self._step_fn = step_fn
         self.state = state
         self._data_iter = data_iter
         self._rng = rng
         self._lr_schedule = lr_schedule
         self._log_period = log_period
+        self._multi_step_fn = multi_step_fn
+        self._steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        self._stack_fn = stack_fn
         self._hooks: List[HookBase] = []
         self.iter = 0
         self.start_iter = 0
         self.max_iter = 0
         self.storage: Optional[EventStorage] = None
         self.last_batch = None
+        self.last_chunk_step_time = None  # set by the chunked loop at fences
         self._pending_metrics = None
         self._pending_data_time = 0.0
 
@@ -169,17 +213,22 @@ class Trainer:
         self.iter = self.start_iter = start_iter
         self.max_iter = max_iter
         logger.info(f"Starting training from iteration {start_iter}")
+        chunked = (self._multi_step_fn is not None
+                   and self._steps_per_dispatch > 1)
         with EventStorage(start_iter) as self.storage:
             try:
                 for h in self._hooks:
                     h.before_train()
-                for self.iter in range(start_iter, max_iter):
-                    for h in self._hooks:
-                        h.before_step()
-                    self.run_step()
-                    for h in self._hooks:
-                        h.after_step()
-                    self.storage.step()
+                if chunked:
+                    self._run_chunked(start_iter, max_iter)
+                else:
+                    for self.iter in range(start_iter, max_iter):
+                        for h in self._hooks:
+                            h.before_step()
+                        self.run_step()
+                        for h in self._hooks:
+                            h.after_step()
+                        self.storage.step()
                 # reference semantics: self.iter == max_iter - 1 at the end
             finally:
                 for h in self._hooks:
@@ -199,18 +248,68 @@ class Trainer:
                 self.iter == self.max_iter - 1:
             self._flush_metrics()
 
+    def _run_chunked(self, start_iter: int, max_iter: int):
+        """K steps per dispatch via ``multi_step_fn`` (lax.scan). Hook
+        before_steps for the chunk fire before the dispatch (with the
+        correct ``self.iter``), after_steps per iteration after it."""
+        import numpy as np
+
+        K = self._steps_per_dispatch
+        stack = self._stack_fn or (lambda bs: jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *bs))
+        it = start_iter
+        while it < max_iter:
+            k = min(K, max_iter - it)
+            for j in range(k):
+                self.iter = it + j
+                for h in self._hooks:
+                    h.before_step()
+            t0 = time.perf_counter()
+            batches = [next(self._data_iter) for _ in range(k)]
+            stacked = stack(batches)
+            self._pending_data_time = (time.perf_counter() - t0) / k
+            t0 = time.perf_counter()
+            # tail chunks (k < K) reuse the same scan fn: lax.scan infers
+            # the length from the stacked leading axis (one extra compile,
+            # and only when max_iter % K != 0).
+            self.state, metrics = self._multi_step_fn(
+                self.state, stacked, self._rng)
+            self.last_batch = batches[-1]
+            for j in range(k):
+                self.iter = it + j
+                if (self.iter + 1) % self._log_period == 0 or \
+                        self.iter == max_iter - 1:
+                    # NaN-check steps [0, j]; record step j's values. The
+                    # device_get fences the whole chunk, so the wall time
+                    # since dispatch is the true device time of k steps.
+                    self._pending_metrics = jax.tree.map(
+                        lambda x: x[:j + 1], metrics)
+                    self._flush_metrics()
+                    self.last_chunk_step_time = \
+                        (time.perf_counter() - t0) / k
+                for h in self._hooks:
+                    h.after_step()
+                self.storage.step()
+            it += k
+        self.iter = max_iter - 1
+
     def _flush_metrics(self):
+        """Fetch pending metrics and write them to storage. Leaves may be
+        scalars (eager path) or step-stacked 1-D arrays (chunked path): the
+        finiteness guard covers every element, the recorded value is the
+        latest step's."""
         if self._pending_metrics is None:
             return
         host = jax.device_get(self._pending_metrics)
-        bad = {k: float(v) for k, v in host.items()
+        bad = {k: jnp.asarray(v).tolist() for k, v in host.items()
                if not jnp.isfinite(jnp.asarray(v)).all()}
         if bad:
             # NaN guard (reference _detect_anomaly, train_loop.py:252-258).
             raise FloatingPointError(
                 f"Loss became non-finite at iteration {self.iter}: {bad}")
         self.storage.put_scalars(
-            **{k: float(v) for k, v in host.items()}, smoothing_hint=True)
+            **{k: float(jnp.asarray(v).reshape(-1)[-1])
+               for k, v in host.items()}, smoothing_hint=True)
         self.storage.put_scalar("data_time", self._pending_data_time,
                                 smoothing_hint=True)
         if self._lr_schedule is not None:

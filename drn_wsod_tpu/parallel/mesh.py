@@ -47,6 +47,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a K-steps-stacked batch pytree (leading axis = steps per
+    dispatch, second axis = global batch sharded over ``axis``)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def stack_and_shard_batches(batches, mesh: Mesh, axis: str = "data"):
+    """Stack K (host) batches leaf-wise and place them onto the mesh with
+    the steps axis unsharded and the batch axis sharded — the input format
+    of ``make_sharded_multi_train_step``. Multi-host: each process passes
+    its local shards; the global array is assembled over DCN exactly as in
+    ``shard_batch``."""
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+    sh = stacked_batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), stacked)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a batch onto the mesh, sharded on the batch dimension.
 

@@ -15,8 +15,10 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import Mesh
 
-from ..engine.trainer import make_csc_train_step, make_train_step
-from .mesh import batch_sharding, replicated, state_shardings
+from ..engine.trainer import (make_csc_train_step, make_multi_train_step,
+                              make_train_step)
+from .mesh import (batch_sharding, replicated, stacked_batch_sharding,
+                   state_shardings)
 
 
 def _state_in_shardings(model, tx, mesh, state=None):
@@ -42,6 +44,25 @@ def make_sharded_train_step(model, tx, mesh: Mesh,
     ssh = _state_in_shardings(model, tx, mesh, state)
     return jax.jit(
         step,
+        in_shardings=(ssh, bsh, repl),
+        out_shardings=(ssh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_multi_train_step(model, tx, mesh: Mesh,
+                                  loss_weights=None, state=None) -> Callable:
+    """K-steps-per-dispatch variant of ``make_sharded_train_step``: a
+    ``lax.scan`` over a K-stacked batch (leading steps axis unsharded, batch
+    axis sharded over ``data``) with the state donated through the whole
+    chunk. Feed it with ``stack_and_shard_batches``; K is inferred from the
+    stacked leading axis, so one compile covers each distinct K."""
+    multi = make_multi_train_step(make_train_step(model, tx, loss_weights))
+    repl = replicated(mesh)
+    bsh = stacked_batch_sharding(mesh)
+    ssh = _state_in_shardings(model, tx, mesh, state)
+    return jax.jit(
+        multi,
         in_shardings=(ssh, bsh, repl),
         out_shardings=(ssh, repl),
         donate_argnums=(0,),

@@ -9,7 +9,8 @@ import pytest
 
 from drn_wsod_tpu.engine import (CommonMetricPrinter, EventStorage, JSONWriter,
                                  Trainer, TrainState, create_train_state,
-                                 get_event_storage, make_train_step)
+                                 get_event_storage, make_multi_train_step,
+                                 make_train_step)
 from drn_wsod_tpu.engine.hooks import EvalHook, HookBase, IterationTimer
 
 
@@ -119,6 +120,75 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(restored.params["params"]["w"]),
                                float(state2.params["params"]["w"]))
     assert ck.latest_step() == 1
+
+
+def _chunked_setup():
+    model = _ToyModel()
+    tx = optax.sgd(0.1)
+    raw = make_train_step(model, tx)
+    state = create_train_state({"params": {"w": jnp.asarray(5.0)}}, tx)
+    return jax.jit(raw), jax.jit(make_multi_train_step(raw)), state
+
+
+class _Recorder(HookBase):
+    def __init__(self):
+        self.before, self.after, self.fired = [], [], []
+
+    def before_step(self):
+        self.before.append(self.trainer.iter)
+
+    def after_step(self):
+        self.after.append(self.trainer.iter)
+        if (self.trainer.iter + 1) % 4 == 0:  # a period-4 periodic hook
+            self.fired.append((self.trainer.iter,
+                               int(self.trainer.state.step)))
+
+
+def test_trainer_chunked_matches_eager():
+    """The Trainer's K-steps-per-dispatch path (engine/trainer.py
+    _run_chunked) must reproduce the eager per-step trajectory exactly,
+    with hooks firing at the same iterations — including a non-multiple
+    max_iter exercising the tail chunk."""
+    max_iter = 10  # K=4 -> chunks of 4, 4, 2 (tail)
+
+    def batches():
+        return iter(float(i) for i in range(max_iter))
+
+    step, multi, state_a = _chunked_setup()
+    rec_a = _Recorder()
+    tr_a = Trainer(step, state_a, batches(), jax.random.PRNGKey(0),
+                   log_period=4)
+    tr_a.register_hooks([IterationTimer(), rec_a])
+    tr_a.train(0, max_iter)
+
+    _, _, state_b = _chunked_setup()
+    rec_b = _Recorder()
+    tr_b = Trainer(step, state_b, batches(), jax.random.PRNGKey(0),
+                   log_period=4, multi_step_fn=multi, steps_per_dispatch=4)
+    tr_b.register_hooks([IterationTimer(), rec_b])
+    tr_b.train(0, max_iter)
+
+    np.testing.assert_array_equal(
+        np.asarray(tr_a.state.params["params"]["w"]),
+        np.asarray(tr_b.state.params["params"]["w"]))
+    assert int(tr_b.state.step) == max_iter
+    assert rec_a.after == rec_b.after == list(range(max_iter))
+    assert sorted(rec_b.before) == list(range(max_iter))
+    # the period-4 hook fired at the same iters and saw the same state.step
+    # (4 and 8 are chunk boundaries, so chunked semantics are exact)
+    assert rec_a.fired == rec_b.fired == [(3, 4), (7, 8)]
+    # identical logged trajectory at flush points
+    assert (tr_a.storage.history("total_loss").values()
+            == tr_b.storage.history("total_loss").values())
+
+
+def test_trainer_chunked_nan_guard():
+    step, multi, state = _chunked_setup()
+    bad = iter([1.0, float("nan"), 1.0, 1.0])
+    tr = Trainer(step, state, bad, jax.random.PRNGKey(0), log_period=4,
+                 multi_step_fn=multi, steps_per_dispatch=4)
+    with pytest.raises(FloatingPointError):
+        tr.train(0, 4)
 
 
 def test_scanned_multi_step_matches_dispatched():

@@ -123,6 +123,51 @@ def test_tp_dp_step_matches_single_device():
     assert not fc1o.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_sharded_multi_step_matches_per_step():
+    """K-steps-in-one-dispatch (make_sharded_multi_train_step + lax.scan,
+    the Trainer's chunked execution mode) must reproduce the per-step
+    sharded trajectory on the same mesh."""
+    from drn_wsod_tpu.parallel import (make_sharded_multi_train_step,
+                                       stack_and_shard_batches)
+
+    model, tx, variables, batch = _setup(B=8)
+    rng0 = jax.random.PRNGKey(7)
+    mesh = create_mesh(("data",), (8,))
+    K = 3
+    batches = [jax.tree.map(lambda x: np.asarray(x), batch) for _ in range(K)]
+    # host copies per trainer: device_put onto the mesh aliases the device-0
+    # buffer, so donating one state would delete the shared `variables`
+    host_vars = jax.tree.map(np.asarray, jax.device_get(variables))
+
+    def fresh_state():
+        return jax.device_put(
+            create_train_state(jax.tree.map(jnp.asarray, host_vars), tx),
+            replicated(mesh))
+
+    sstep = make_sharded_train_step(model, tx, mesh)
+    state_a = fresh_state()
+    srng = jax.device_put(rng0, replicated(mesh))
+    for b in batches:
+        state_a, metrics_a = sstep(state_a, shard_batch(b, mesh), srng)
+
+    mstep = make_sharded_multi_train_step(model, tx, mesh)
+    state_b = fresh_state()
+    stacked = stack_and_shard_batches(batches, mesh)
+    state_b, metrics_b = mstep(state_b, stacked, srng)
+
+    assert int(state_b.step) == K
+    for k in metrics_a:
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(np.asarray(metrics_b[k])[-1]),
+            rtol=2e-5, err_msg=k)
+    wa = np.asarray(jax.device_get(
+        state_a.params["params"]["box_head"]["fc1"]["kernel"]))
+    wb = np.asarray(jax.device_get(
+        state_b.params["params"]["box_head"]["fc1"]["kernel"]))
+    np.testing.assert_allclose(wa, wb, rtol=1e-6, atol=1e-7)
+
+
 def test_state_shardings_cover_multisteps_optimizer_mirrors():
     """ITER_SIZE>1 wraps the optimizer in optax.MultiSteps; the TP spec must
     reach the params AND every optimizer mirror (momentum trace, MultiSteps

@@ -13,6 +13,7 @@ via jit shardings (see drn_wsod_tpu/parallel/).
 """
 
 import logging
+import math
 import os
 import sys
 
@@ -45,8 +46,9 @@ from drn_wsod_tpu.evaluation import (PascalVOCDetectionEvaluator,
 from drn_wsod_tpu.evaluation.evaluator import gather_and_evaluate
 from drn_wsod_tpu.models import build_model
 from drn_wsod_tpu.parallel import (create_mesh, make_sharded_csc_train_step,
+                                   make_sharded_multi_train_step,
                                    make_sharded_train_step, replicated,
-                                   state_shardings,
+                                   stack_and_shard_batches, state_shardings,
                                    shard_batch)
 from drn_wsod_tpu.parallel import multihost
 from drn_wsod_tpu.solver import build_lr_schedule, build_optimizer
@@ -181,6 +183,9 @@ def do_test(cfg, model, variables, eval_train: bool = False):
             results[name] = inference_on_dataset(
                 detect, variables, loader, evaluator, loader._records)
         logger.info(f"Results on {name}: {results[name]}")
+        from drn_wsod_tpu.evaluation.testing import print_csv_format
+
+        print_csv_format(results[name])
 
     if cfg.TEST.EXPECTED_RESULTS and datasets:
         from drn_wsod_tpu.evaluation.testing import verify_results
@@ -257,6 +262,24 @@ def do_train(cfg, model, resume: bool = False):
     plain_step = make_sharded_train_step(model, tx, mesh, state=state)
     from drn_wsod_tpu.models.build import CSC_HEAD_NAMES
 
+    # K steps per dispatch (one lax.scan program instead of K dispatches,
+    # engine/trainer.py). gcd-reduce K against every active hook period so
+    # each firing hook observes exactly the state it would have seen with
+    # eager stepping; CSC training forces K=1 (host-side step-program
+    # switch on the iteration counter below).
+    log_period = 20
+    vis_period = cfg.VIS_PERIOD or (
+        cfg.SOLVER.CHECKPOINT_PERIOD if cfg.WSL.VIS_TEST else 0)
+    steps_per_dispatch = max(int(cfg.SOLVER.STEPS_PER_DISPATCH), 1)
+    if cfg.MODEL.ROI_HEADS.NAME in CSC_HEAD_NAMES:
+        steps_per_dispatch = 1
+    # (ITER_SIZE accumulation lives inside the step via optax.MultiSteps,
+    # so it does not constrain K.)
+    for period in (log_period, cfg.SOLVER.CHECKPOINT_PERIOD,
+                   cfg.TEST.EVAL_PERIOD, vis_period):
+        if period and period > 0:
+            steps_per_dispatch = math.gcd(steps_per_dispatch, int(period))
+
     if cfg.MODEL.ROI_HEADS.NAME in CSC_HEAD_NAMES:
         # CSC/WSJDS: the CSC constraint (CPG backprop-to-image +
         # center-surround weights) is active while iter <= WSL.CSC_MAX_ITER,
@@ -282,8 +305,20 @@ def do_train(cfg, model, resume: bool = False):
 
     rng = jax.device_put(
         jax.random.PRNGKey(max(cfg.SEED, 0)), replicated(mesh))
-    trainer = Trainer(step, state, sharded_iter(), rng,
-                      lr_schedule=build_lr_schedule(cfg))
+    if steps_per_dispatch > 1:
+        multi_step = make_sharded_multi_train_step(model, tx, mesh,
+                                                   state=state)
+        trainer = Trainer(
+            step, state, iter(loader), rng,
+            lr_schedule=build_lr_schedule(cfg), log_period=log_period,
+            multi_step_fn=multi_step, steps_per_dispatch=steps_per_dispatch,
+            stack_fn=lambda bs: stack_and_shard_batches(bs, mesh))
+        logger = logging.getLogger(__name__)
+        logger.info(f"Chunked training: {steps_per_dispatch} steps/dispatch")
+    else:
+        trainer = Trainer(step, state, sharded_iter(), rng,
+                          lr_schedule=build_lr_schedule(cfg),
+                          log_period=log_period)
     if _trainer_box is not None:
         _trainer_box.append(trainer)
     hooks = [IterationTimer()]
@@ -305,8 +340,6 @@ def do_train(cfg, model, resume: bool = False):
                         rngs={"dropout": jax.random.PRNGKey(0)}),
                 lambda: iter(loader),
                 num_iters=cfg.TEST.PRECISE_BN.NUM_ITER))
-        vis_period = cfg.VIS_PERIOD or (
-            cfg.SOLVER.CHECKPOINT_PERIOD if cfg.WSL.VIS_TEST else 0)
         if vis_period > 0 and cfg.MODEL.ROI_HEADS.NAME in (
                 "OICRROIHeads", "PCLROIHeads", "WSDDNROIHeads"):
             meta = (MetadataCatalog.get(cfg.DATASETS.TRAIN[0])
