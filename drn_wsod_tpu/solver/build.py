@@ -144,6 +144,17 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     pytree used only to derive labels."""
     s = cfg.SOLVER
     sched = build_lr_schedule(cfg)
+    if cfg.WSL.ITER_SIZE > 1:
+        # The reference steps its LR scheduler every ITERATION while the
+        # optimizer steps every ITER_SIZE iters (train_net.py:100-113 +
+        # LRScheduler hook), so the n-th parameter update (0-based) uses the
+        # lr of micro-iteration (n+1)*k - 1. optax's schedule count under
+        # MultiSteps increments once per UPDATE — remap it, or warmup and
+        # STEPS silently stretch by ITER_SIZE
+        # (tests/test_solver_trajectory.py covers this end to end vs torch).
+        k = int(cfg.WSL.ITER_SIZE)
+        iter_sched = sched
+        sched = lambda n: iter_sched((n + 1) * k - 1)  # noqa: E731
     bias_sched = lambda it: sched(it) * s.BIAS_LR_FACTOR  # noqa: E731
 
     clip = None
