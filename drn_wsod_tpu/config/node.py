@@ -98,6 +98,21 @@ class CfgNode(dict):
 
     def merge_from_file(self, filename: str, allow_new: bool = False) -> None:
         loaded = _load_yaml_with_base(filename)
+        # Reference-era configs carry a ``VERSION:`` key driving yacs config
+        # migration (reference detectron2/config/compat.py:1-229; latest
+        # version = 2). VERSION: 2 configs use current key names and merge
+        # as-is; anything older would need the migration machinery this
+        # framework deliberately does not have — reject it loudly instead of
+        # silently misreading legacy keys.
+        cur = self.get("VERSION", 2)
+        if "VERSION" in loaded and loaded["VERSION"] != cur:
+            raise KeyError(
+                f"{filename} sets 'VERSION: {loaded['VERSION']}' but this "
+                f"framework only understands version-{cur} configs — the "
+                "detectron2 config-version migration system (compat.py) "
+                "does not exist in drn_wsod_tpu. Upgrade the config to "
+                "current key names (reference tools: detectron2 "
+                "config/compat.py upgrade_config) and set VERSION: 2.")
         self.merge_from_other(loaded, allow_new=allow_new)
 
     def merge_from_list(self, opts: List[Any]) -> None:

@@ -71,3 +71,23 @@ def test_clone_and_dump_roundtrip():
     assert cfg.SOLVER.BASE_LR != 99.0
     text = cfg.dump()
     assert "BASE_LR" in text
+
+
+def test_reference_version_key_rejected_loudly(tmp_path):
+    """``VERSION: 2`` (the reference's current config version) merges as a
+    drop-in; older versions need detectron2's migration machinery
+    (compat.py), which this framework deliberately lacks — they must be
+    rejected with a clear message, not silently misread."""
+    import pytest
+
+    ok = tmp_path / "current.yaml"
+    ok.write_text("VERSION: 2\nSOLVER:\n  BASE_LR: 0.1\n")
+    cfg = get_cfg()
+    cfg.merge_from_file(str(ok))  # version 2 == current: accepted
+    assert cfg.SOLVER.BASE_LR == 0.1
+
+    f = tmp_path / "legacy.yaml"
+    f.write_text("VERSION: 1\nSOLVER:\n  BASE_LR: 0.1\n")
+    cfg = get_cfg()
+    with pytest.raises(KeyError, match="VERSION"):
+        cfg.merge_from_file(str(f))
