@@ -25,6 +25,23 @@ def flatten_results_dict(results: Dict) -> Dict[str, float]:
     return out
 
 
+def print_csv_format(results: Dict) -> None:
+    """Log per-task metrics as ``copypaste:`` CSV lines (reference
+    detectron2/evaluation/testing.py:print_csv_format) so log-scraping
+    tooling (dev/parse_results.sh) works unchanged."""
+    for task, metrics in results.items():
+        if not isinstance(metrics, dict):
+            continue
+        keys = [k for k, v in metrics.items()
+                if isinstance(v, (int, float))]
+        if not keys:
+            continue
+        logger.info(f"copypaste: Task: {task}")
+        logger.info("copypaste: " + ",".join(keys))
+        logger.info("copypaste: " + ",".join(
+            f"{float(metrics[k]):.4f}" for k in keys))
+
+
 def verify_results(cfg, results: Dict) -> bool:
     expected = cfg.TEST.EXPECTED_RESULTS
     if not expected:

@@ -26,6 +26,13 @@ def main():
     assert jax.process_index() == pid and jax.process_count() == nproc
     assert len(jax.local_devices()) == 1 and len(jax.devices()) == nproc
 
+    # Establish the gloo context NOW, while both ranks are still in
+    # lockstep: gloo's KV exchange has a hard 30s deadline, and on a
+    # single-core host the later heavy jit compiles can skew rank arrival
+    # at the first collective past it.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("gloo_warmup")
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import numpy as np

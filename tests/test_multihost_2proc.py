@@ -49,3 +49,33 @@ def test_two_process_train_step_and_gather():
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_step():
+    """("data","model")=(2,2) mesh over 2 processes x 2 virtual devices,
+    laid out so the Megatron DAN split crosses the process boundary; the
+    worker asserts TP numerics match an unsharded single-device step
+    (VERDICT r2 ask #6)."""
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    script = os.path.join(REPO, "tests", "mh_tp_worker_script.py")
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    assert "MHTP_OK rank=0" in outs[0]
+    assert "MHTP_OK rank=1" in outs[1]
