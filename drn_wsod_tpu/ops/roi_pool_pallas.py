@@ -70,13 +70,15 @@ def _load_extent(W: int, R: int) -> int:
 def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
     """Per-bin gather coords for the y-RMQ + masked-16-window-x kernel.
 
-    Returns:
-      ys: (P, R*R*2) int32 — stacked-table row ``ky*H + y`` for the two
-        covering y-windows.
-      x8: (P, R*R) int32 — 8-aligned start of the first (16, CT) x window.
-      mi: (P, R*R*2) int32 — range-mask indices a*16 + (b-1) (lanes [a, b)
-        of a 16-window) for the first and second window; the second is the
-        all-poison entry when the span fits one window.
+    Returns (unbroadcast — y-data per y-bin, x-data per x-bin; the kernel's
+    bin ids are static so it splits ``b`` into (yb, xb) at trace time):
+      ys: (P, R*2) int32 — stacked-table row ``ky*H + y`` for the two
+        covering y-windows of each y-bin.
+      x8: (P, R) int32 — 8-aligned start of each x-bin's first (16, CT)
+        window.
+      mi: (P, R*NW) int32 — range-mask indices a*16 + (b-1) (lanes [a, b)
+        of a 16-window) per x-bin and window; a window beyond the span gets
+        the all-poison entry.
       tier: (P, 1) int32 —
         0: per-bin, one y-row x one 16-window;
         1: per-bin, two y-rows x one window;
@@ -173,11 +175,12 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
     mi = jnp.where(shared[:, None, None], mi_s, mi)
 
     valid = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
-    ys_b = jnp.broadcast_to(ys[:, :, None, :], (P, R, R, 2))
-    x8_b = jnp.broadcast_to(x8[:, None, :], (P, R, R))
-    mi_b = jnp.broadcast_to(mi[:, None, :, :], (P, R, R, NW))
-    return (ys_b.reshape(P, R * R * 2), x8_b.reshape(P, R * R),
-            mi_b.reshape(P, R * R * NW), tier, valid)
+    # y-data depends only on the y-bin and x-data only on the x-bin, and the
+    # kernel's bin index is STATIC at trace time (unrolled loops), so the
+    # coords ship unbroadcast: (P, R*2) y-rows + (P, R) window starts +
+    # (P, R*NW) mask ids instead of (P, R*R*{2,1,NW}) — 7x less SMEM traffic
+    # and no XLA broadcast/materialize pass.
+    return (ys.reshape(P, R * 2), x8, mi.reshape(P, R * NW), tier, valid)
 
 
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
@@ -310,11 +313,13 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             tab_ref[LX * LX] = jnp.full((LX, CT), poison).astype(tdt)
 
         def one_roi(i):
+            # coords ship unbroadcast (y-data per y-bin, x-data per x-bin);
+            # bin ids are static Python ints so the split is trace-time free
             def win(b, sy, j):
-                y = ys_ref[i, 2 * b + sy]    # ky*H + row (RMQ window pair)
-                x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
+                y = ys_ref[i, 2 * (b // R) + sy]  # ky*H + row (RMQ pair)
+                x8 = pl.multiple_of(x8_ref[i, b % R], 8) + j * LX
                 w = feat_ref[y, pl.ds(x8, LX), :]
-                t = tab_ref[mi_ref[i, NW * b + j]]
+                t = tab_ref[mi_ref[i, NW * (b % R) + j]]
                 return jnp.minimum(w, t) if int8_mode else w + t
 
             def win_pair(b, j):
@@ -322,12 +327,12 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                 # y-RMQ pair, so max BEFORE masking saves one (16, CT) op
                 # per window: max(w0 + t, w1 + t) == max(w0, w1) + t
                 # (min for the int8 poison likewise).
-                y0 = ys_ref[i, 2 * b]
-                y1 = ys_ref[i, 2 * b + 1]
-                x8 = pl.multiple_of(x8_ref[i, b], 8) + j * LX
+                y0 = ys_ref[i, 2 * (b // R)]
+                y1 = ys_ref[i, 2 * (b // R) + 1]
+                x8 = pl.multiple_of(x8_ref[i, b % R], 8) + j * LX
                 w = jnp.maximum(feat_ref[y0, pl.ds(x8, LX), :],
                                 feat_ref[y1, pl.ds(x8, LX), :])
-                t = tab_ref[mi_ref[i, NW * b + j]]
+                t = tab_ref[mi_ref[i, NW * (b % R) + j]]
                 return jnp.minimum(w, t) if int8_mode else w + t
 
             def emit_single(b, acc):
@@ -438,14 +443,14 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             # max is taken BEFORE masking (max(w0, w1) + t == the max of
             # the two masked windows; min for the int8 poison likewise).
             def row_windows(b0, j):
-                y0 = ys_ref[i, 2 * b0]
-                y1 = ys_ref[i, 2 * b0 + 1]
-                x8 = pl.multiple_of(x8_ref[i, b0], 8) + j * LX
+                y0 = ys_ref[i, 2 * (b0 // R)]
+                y1 = ys_ref[i, 2 * (b0 // R) + 1]
+                x8 = pl.multiple_of(x8_ref[i, b0 % R], 8) + j * LX
                 return jnp.maximum(feat_ref[y0, pl.ds(x8, LX), :],
                                    feat_ref[y1, pl.ds(x8, LX), :])
 
             def masked(m, b, j):
-                t = tab_ref[mi_ref[i, NW * b + j]]
+                t = tab_ref[mi_ref[i, NW * (b % R) + j]]
                 return jnp.minimum(m, t) if int8_mode else m + t
 
             @pl.when(tier == 3)
@@ -474,8 +479,8 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             # degenerate-y variants: the bin's RMQ pair collapses to one
             # row, so each y-row costs ONE load and no pair max
             def row_window1(b0, j):
-                y0 = ys_ref[i, 2 * b0]
-                x8 = pl.multiple_of(x8_ref[i, b0], 8) + j * LX
+                y0 = ys_ref[i, 2 * (b0 // R)]
+                x8 = pl.multiple_of(x8_ref[i, b0 % R], 8) + j * LX
                 return feat_ref[y0, pl.ds(x8, LX), :]
 
             @pl.when(tier == 5)
@@ -540,14 +545,16 @@ def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
                                    "roi_block", "c_tile", "interpret",
-                                   "unroll_rois", "row_share"))
+                                   "unroll_rois", "row_share",
+                                   "joint_emit"))
 def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
                          spatial_scale: float, resolution: int = 7,
                          roi_block: int = 8, c_tile: int = 1024,
                          interpret: bool = False,
                          roi_scale: jnp.ndarray | None = None,
                          unroll_rois: bool = False,
-                         row_share: bool = True) -> jnp.ndarray:
+                         row_share: bool = True,
+                         joint_emit: bool = False) -> jnp.ndarray:
     """Batch-in-grid exact RoIPool: (B, H, W, C) + (B, P, 4) -> (B, P, R, R, C).
 
     Same masked-16-window / y-RMQ / tiered formulation as
@@ -597,11 +604,11 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (B, C // CT, P // RB)
     smem_specs = [
-        pl.BlockSpec((None, RB, R * R * 2), lambda b, c, r: (b, r, 0),
+        pl.BlockSpec((None, RB, R * 2), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((None, RB, R * R), lambda b, c, r: (b, r, 0),
+        pl.BlockSpec((None, RB, R), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((None, RB, R * R * NW), lambda b, c, r: (b, r, 0),
+        pl.BlockSpec((None, RB, R * NW), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((None, RB, 1), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
@@ -614,7 +621,7 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     out = pl.pallas_call(
         _make_kernel(RB, R, CT, NW, neg_val, features.dtype,
                      unroll_rois=unroll_rois, H=H,
-                     row_share=row_share, joint_emit=False,
+                     row_share=row_share, joint_emit=joint_emit,
                      fused_dma=True),
         grid=grid,
         in_specs=smem_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -717,11 +724,11 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     neg_val = float(jnp.finfo(features.dtype).min) / 2
     grid = (C // CT, P // RB)
     smem_specs = [
-        pl.BlockSpec((RB, R * R * 2), lambda c, r: (r, 0),
+        pl.BlockSpec((RB, R * 2), lambda c, r: (r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((RB, R * R), lambda c, r: (r, 0),
+        pl.BlockSpec((RB, R), lambda c, r: (r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((RB, R * R * NW), lambda c, r: (r, 0),
+        pl.BlockSpec((RB, R * NW), lambda c, r: (r, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((RB, 1), lambda c, r: (r, 0),
                      memory_space=pltpu.SMEM),

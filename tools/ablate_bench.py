@@ -40,7 +40,12 @@ def main():
     from drn_wsod_tpu.solver import build_optimizer
 
     B, H, P = 2, 704, 4096
+    # the ACTUAL flagship config (DAN_DIM [2048, 4096]; the generic default's
+    # [4096, 4096] doubles FC1 FLOPs and OOMs when two states are alive)
     cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "configs/PascalVOC-Detection/oicr_WSR_50_DC5_1x.yaml"))
     model = build_model(cfg)
     batch = _synthetic_batch(B=B, H=H, W=H, P=P,
                              C=cfg.MODEL.ROI_HEADS.NUM_CLASSES)
@@ -134,18 +139,8 @@ def main():
     dy = jax.random.normal(rng, (B * P, D), jnp.bfloat16)
     timeit(fc1_wgrad, x, dy, name="FC1 wgrad alone")
 
-    # ---- WSDDN-only variant (no refinement branches)
-    cfg2 = get_cfg()
-    cfg2.MODEL.ROI_HEADS.NAME = "WSDDNROIHeads"
-    model2 = build_model(cfg2)
-    variables2 = model2.init({"params": rng, "dropout": rng}, batch,
-                             train=True)
-    tx2 = build_optimizer(cfg2, variables2)
-    state2 = create_train_state(variables2, tx2)
-    step2 = jax.jit(make_train_step(model2, tx2))
-    timeit(step2, state2, batch, rng, name="train step WSDDN-only (no OICR)")
-
-    # ---- optimizer alone
+    # ---- optimizer alone (moved before the WSDDN variant so the OICR
+    # state can be freed before a second model's state is materialized)
     @jax.jit
     def opt_only(state):
         grads = jax.tree.map(jnp.zeros_like, state.params)
@@ -154,6 +149,21 @@ def main():
         params = optax.apply_updates(state.params, updates)
         return params
     timeit(opt_only, state, name="optimizer update alone")
+    del state
+
+    # ---- WSDDN-only variant (no refinement branches)
+    cfg2 = get_cfg()
+    cfg2.merge_from_file(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "configs/PascalVOC-Detection/oicr_WSR_50_DC5_1x.yaml"))
+    cfg2.MODEL.ROI_HEADS.NAME = "WSDDNROIHeads"
+    model2 = build_model(cfg2)
+    variables2 = model2.init({"params": rng, "dropout": rng}, batch,
+                             train=True)
+    tx2 = build_optimizer(cfg2, variables2)
+    state2 = create_train_state(variables2, tx2)
+    step2 = jax.jit(make_train_step(model2, tx2))
+    timeit(step2, state2, batch, rng, name="train step WSDDN-only (no OICR)")
 
 
 if __name__ == "__main__":
