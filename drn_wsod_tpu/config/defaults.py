@@ -269,6 +269,10 @@ def get_cfg() -> CfgNode:
     _C.TEST.AUG.MIN_SIZES = (480, 576, 672, 768, 864, 960, 1056, 1152)
     _C.TEST.AUG.MAX_SIZE = 4000
     _C.TEST.AUG.FLIP = True
+    # build TTA views (resize/flip/pad) on device from the raw image instead
+    # of shipping per-view f32 buffers from the host (new key, no reference
+    # analog; see tta.py:_device_view_batch)
+    _C.TEST.AUG.DEVICE_VIEWS = True
     _C.TEST.EXPECTED_RESULTS = []
 
     # ---------------------------------------------------------------- parallel

@@ -522,6 +522,33 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
 
 _VMEM_BUDGET = 120 * 1024 * 1024      # leave headroom under v5e's 128M
 
+# Register-allocator spill slots are not in the analytic footprint. Measured
+# on hardware: NW=2 programs (every train bucket) spill <= 17M at CT=1024,
+# but the NW=3 multi-window tier-2 code path spilled 32.1M at CT=256 on a
+# 191x191 DC5 map (TTA's 1536 eval bucket), OOMing a footprint that the
+# naive model said fit. Budget a worst-case margin whenever the
+# multi-window path is compiled in (NW > 2).
+_SPILL_MARGIN = 34 * 1024 * 1024
+
+
+def _xla_fallback(features, boxes, spatial_scale, resolution, roi_scale):
+    """Exact XLA roi_pool for maps too large for any Pallas VMEM layout
+    (e.g. unbucketed eval near MAX_SIZE 4000). Matches the kernel's output
+    contract incl. the fused roi_scale epilogue; batched via vmap
+    (plain XLA ops, no BlockSpecs to rewrite)."""
+    from .roi_align import roi_pool as _roi_pool
+
+    batched = features.ndim == 4
+    if not batched:
+        features, boxes = features[None], boxes[None]
+        roi_scale = None if roi_scale is None else roi_scale[None]
+    pooled = jax.vmap(
+        lambda f, b: _roi_pool(f, b, spatial_scale, resolution=resolution)
+    )(features, boxes)
+    if roi_scale is not None:
+        pooled = pooled * roi_scale[:, :, None, None, None].astype(pooled.dtype)
+    return pooled if batched else pooled[0]
+
 
 def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                             spatial_scale: float, resolution: int = 7,
@@ -579,17 +606,22 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     n_masks = LX * LX + 1
     itemsize = jnp.dtype(features.dtype).itemsize
 
+    spill = _SPILL_MARGIN if NW > 2 else 0
+
     def footprint(ct):
         table = Ky * H * W8 * ct * itemsize           # single-buffered
         masks = n_masks * LX * ct * itemsize
         out_blk = 2 * RB * R * R * ct * itemsize      # double-buffered
-        return table + masks + out_blk
+        return table + masks + out_blk + spill
 
     CT = min(c_tile, C)
     while C % CT != 0:
         CT //= 2
     while CT > 128 and footprint(CT) > _VMEM_BUDGET:
         CT //= 2
+    if footprint(CT) > _VMEM_BUDGET and not interpret:
+        return _xla_fallback(features, boxes, spatial_scale, resolution,
+                             roi_scale)
 
     pos = jax.vmap(lambda bx: _kernel_positions(
         bx, spatial_scale, H, W, R, row_share=row_share))(boxes)
@@ -675,14 +707,16 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     table_dtype = jnp.int8 if quantize_int8 else features.dtype
     itemsize = jnp.dtype(table_dtype).itemsize
 
+    spill = _SPILL_MARGIN if NW > 2 else 0
+
     def footprint(ct, mode):
         table = Ky * H * W8 * ct * itemsize
         raw = H * W8 * ct * itemsize
         masks = n_masks * LX * ct * itemsize
         out_blk = 2 * RB * R * R * ct * itemsize
         if mode == "fused":               # 2x raw block + 1x table scratch
-            return table + 2 * raw + masks + out_blk
-        return (1 if mode == "hbm" else 2) * table + masks + out_blk
+            return table + 2 * raw + masks + out_blk + spill
+        return (1 if mode == "hbm" else 2) * table + masks + out_blk + spill
 
     CT = min(c_tile, C)
     while C % CT != 0:
@@ -690,6 +724,9 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     # shrink until SOME layout fits; prefer the fused in-kernel table build
     while CT > 128 and footprint(CT, "hbm") > _VMEM_BUDGET:
         CT //= 2
+    if footprint(CT, "hbm") > _VMEM_BUDGET and not interpret:
+        return _xla_fallback(features, boxes, spatial_scale, resolution,
+                             roi_scale)
     fuse_table_build = footprint(CT, "fused") <= _VMEM_BUDGET
     hbm_tables = (not fuse_table_build
                   and footprint(CT, "block") > _VMEM_BUDGET)

@@ -197,6 +197,19 @@ def make_tta_union_detect_fn(model, score_thresh: float, nms_thresh: float,
     return detect
 
 
+def _sum_inverted(scores, boxes, inv):
+    """Inverse-transform per-view boxes to the original frame and sum both
+    matrices over views (the TTA-AVG reduction before the final /V)."""
+    C = scores.shape[-1] - 1
+    if boxes.shape[-1] != 4:
+        V, P = boxes.shape[:2]
+        b = boxes.reshape(V, P * C, 4)
+        inv_boxes = _invert_boxes(b, inv).reshape(V, P, C, 4)
+    else:
+        inv_boxes = _invert_boxes(boxes, inv)
+    return jnp.sum(scores, axis=0), jnp.sum(inv_boxes, axis=0)
+
+
 def make_tta_scorer(model):
     """Jitted per-group scorer: sums scores and inverse-transformed boxes
     over the group's views (compiles once per bucket)."""
@@ -205,16 +218,97 @@ def make_tta_scorer(model):
     def score(variables, batch, inv):
         scores, boxes = model.apply(variables, batch,
                                     method="inference_scores")
-        C = scores.shape[-1] - 1
-        if boxes.shape[-1] != 4:
-            V, P = boxes.shape[:2]
-            b = boxes.reshape(V, P * C, 4)
-            inv_boxes = _invert_boxes(b, inv).reshape(V, P, C, 4)
-        else:
-            inv_boxes = _invert_boxes(boxes, inv)
-        return jnp.sum(scores, axis=0), jnp.sum(inv_boxes, axis=0)
+        return _sum_inverted(scores, boxes, inv)
 
     return score
+
+
+def _device_view_batch(raw, hw0, new_hw, flips, bucket: int,
+                       boxes, mask, objectness, labels):
+    """Traced twin of :func:`build_view_batch`: build one bucket group's
+    (V, bucket, bucket, 3) view batch ON DEVICE from the raw image.
+
+    The host path resizes 16 full-resolution f32 views per image and ships
+    them through the host->device link — measured 6.1 s/img (253 MB) on this
+    rig vs 0.7 s of device scoring (PERF.md TTA bisect). Here the host ships
+    the raw image ONCE (u8, ~0.75 MB edge-padded) and each view is a
+    ``jax.image.scale_and_translate`` with DYNAMIC scale (half-pixel
+    convention identical to ``jax.image.resize``; verified within 1/255 of
+    the PIL-BILINEAR host transform), so one compile serves every original
+    image size in the raw bucket.
+
+    raw: (RB, RB, 3) u8/f32, original pixels edge-padded (edge mode keeps
+      the linear kernel's boundary taps on the replicated edge row — the
+      same clamp semantics PIL uses — instead of polluting with zeros);
+    hw0: (2,) i32 valid size; new_hw: (V, 2) i32 exact per-view sizes
+      (host-computed by enumerate_views, passed dynamically);
+    flips: STATIC tuple of bool (part of the jit key);
+    boxes (P, 4) original-frame proposals, mask (P,), objectness (P,),
+    labels (C,).
+    """
+    V = len(flips)
+    H0 = hw0[0].astype(jnp.float32)
+    W0 = hw0[1].astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bucket, bucket), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bucket, bucket), 1)
+    rawf = raw.astype(jnp.float32)
+    maskf = mask.astype(jnp.float32)
+
+    imgs, props, scales, widths = [], [], [], []
+    for v, do_flip in enumerate(flips):
+        nh, nw = new_hw[v, 0], new_hw[v, 1]
+        nhf, nwf = nh.astype(jnp.float32), nw.astype(jnp.float32)
+        sy, sx = nhf / H0, nwf / W0
+        im = jax.image.scale_and_translate(
+            rawf, (bucket, bucket, 3), (0, 1),
+            jnp.stack([sy, sx]), jnp.zeros((2,), jnp.float32),
+            "linear", antialias=True)
+        im = im * ((rows < nh) & (cols < nw))[..., None]
+        if do_flip:
+            # flip puts the valid cols at [bucket-nw, bucket); roll them
+            # back to 0 (the wrapped tail re-enters the zeroed pad region)
+            im = jnp.roll(im[:, ::-1], nw - bucket, axis=1)
+        b = boxes * jnp.stack([sx, sy, sx, sy])
+        if do_flip:
+            b = jnp.stack([nwf - b[:, 2], b[:, 1], nwf - b[:, 0], b[:, 3]], 1)
+        imgs.append(im)
+        props.append(b * maskf[:, None])
+        scales.append(jnp.stack([sx, sy]))
+        widths.append(nwf)
+
+    P = boxes.shape[0]
+    batch = WSODBatch(
+        image=jnp.stack(imgs),
+        image_hw=new_hw.astype(jnp.int32),
+        orig_hw=jnp.tile(hw0.astype(jnp.int32)[None], (V, 1)),
+        proposals=jnp.stack(props),
+        proposal_mask=jnp.tile(mask[None], (V, 1)),
+        objectness=jnp.tile((objectness * maskf)[None], (V, 1)),
+        labels=jnp.tile(labels[None], (V, 1)),
+        image_id=jnp.zeros((V,), dtype=jnp.int32),
+    )
+    inv = {"scale": jnp.stack(scales),
+           "flip": jnp.asarray([float(f) for f in flips]),
+           "width": jnp.stack(widths)}
+    return batch, inv
+
+
+def make_group_scorer(model, flips, bucket: int):
+    """Fused device-side view build + scorer for one bucket group: ONE
+    dispatch per group, raw image in, summed score/box matrices out.
+    Compiles per (raw-bucket, out-bucket, flips) key — independent of the
+    original image size within the raw bucket."""
+
+    @jax.jit
+    def run(variables, raw, hw0, new_hw, boxes, mask, objectness, labels):
+        batch, inv = _device_view_batch(raw, hw0, new_hw, tuple(flips),
+                                        bucket, boxes, mask, objectness,
+                                        labels)
+        scores, bxs = model.apply(variables, batch,
+                                  method="inference_scores")
+        return _sum_inverted(scores, bxs, inv)
+
+    return run
 
 
 def make_tta_finalizer(nms_thresh: float, score_thresh: float, topk: int):
@@ -247,6 +341,8 @@ class GeneralizedRCNNWithTTAAVG:
         self.fmt = cfg.INPUT.FORMAT
         self.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
         self._score = make_tta_scorer(model)
+        self.device_views = bool(getattr(cfg.TEST.AUG, "DEVICE_VIEWS", True))
+        self._group_scorers: Dict[tuple, object] = {}
         self._finalize = make_tta_finalizer(
             cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
             cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
@@ -275,15 +371,51 @@ class GeneralizedRCNNWithTTAAVG:
 
         sum_scores = sum_boxes = None
         prop_mask = None
-        for bucket_views in groups.values():
-            batch, inv = build_view_batch(
-                image, boxes, logits, labels, self.min_sizes, self.max_size,
-                self.flip, self.buckets, self.num_proposals,
-                views=bucket_views)
-            s, b = self._score(self.variables, batch, inv)
-            prop_mask = batch.proposal_mask[0]
-            sum_scores = s if sum_scores is None else sum_scores + s
-            sum_boxes = b if sum_boxes is None else sum_boxes + b
+        if self.device_views:
+            # ship the raw image once (u8, edge-padded to a coarse square
+            # raw bucket so one compile serves every image size); each
+            # group's views are resized/flipped/padded ON DEVICE inside the
+            # fused scorer (PERF.md: host view building + upload was 6.1
+            # s/img vs 0.7 s of scoring on this rig)
+            H0, W0 = image.shape[:2]
+            rb = int(np.ceil(max(H0, W0) / 256) * 256)
+            raw = np.pad(image, ((0, rb - H0), (0, rb - W0), (0, 0)),
+                         mode="edge")
+            P = self.num_proposals
+            n = min(len(boxes), P)
+            pboxes = np.zeros((P, 4), np.float32)
+            pboxes[:n] = boxes[:n]
+            pmask = np.zeros((P,), bool)
+            pmask[:n] = True
+            pobj = np.zeros((P,), np.float32)
+            pobj[:n] = logits[:n]
+            raw_d = jnp.asarray(raw)
+            hw0 = jnp.asarray([H0, W0], jnp.int32)
+            args = (jnp.asarray(pboxes), jnp.asarray(pmask),
+                    jnp.asarray(pobj), jnp.asarray(labels))
+            prop_mask = args[1]
+            for bucket, bucket_views in groups.items():
+                flips = tuple(bool(f) for _, _, f in bucket_views)
+                new_hw = jnp.asarray([[nh, nw] for nh, nw, _ in bucket_views],
+                                     jnp.int32)
+                key = (rb, bucket, flips)
+                scorer = self._group_scorers.get(key)
+                if scorer is None:
+                    scorer = make_group_scorer(self.model, flips, bucket)
+                    self._group_scorers[key] = scorer
+                s, b = scorer(self.variables, raw_d, hw0, new_hw, *args)
+                sum_scores = s if sum_scores is None else sum_scores + s
+                sum_boxes = b if sum_boxes is None else sum_boxes + b
+        else:
+            for bucket_views in groups.values():
+                batch, inv = build_view_batch(
+                    image, boxes, logits, labels, self.min_sizes,
+                    self.max_size, self.flip, self.buckets,
+                    self.num_proposals, views=bucket_views)
+                s, b = self._score(self.variables, batch, inv)
+                prop_mask = batch.proposal_mask[0]
+                sum_scores = s if sum_scores is None else sum_scores + s
+                sum_boxes = b if sum_boxes is None else sum_boxes + b
         dets = self._finalize(sum_scores, sum_boxes, float(len(views)),
                               prop_mask)
         return jax.device_get(dets)

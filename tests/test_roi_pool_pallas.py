@@ -178,3 +178,40 @@ def test_fast_dropout_exact_bernoulli_half():
     np.testing.assert_array_equal(y, y2)
     yd = np.asarray(mod.apply({}, x, deterministic=True))
     np.testing.assert_array_equal(yd, np.ones_like(yd))
+
+
+@pytest.mark.core
+def test_grid_vmem_overflow_falls_back_to_xla():
+    """Maps whose level-stack scratch cannot fit VMEM at any channel tile
+    must dispatch to the exact XLA formulation instead of OOMing the TPU
+    compiler (observed: TTA's 1536 eval bucket -> 191x191 DC5 map, 108M
+    scratch + 32M register spills > 128M vmem). interpret=False on CPU is
+    safe here precisely because the fallback fires before any pallas_call
+    is built."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import (_SPILL_MARGIN,
+                                                  _VMEM_BUDGET,
+                                                  roi_pool_pallas_grid)
+
+    rng = np.random.RandomState(1)
+    B, H, W, C, P = 1, 512, 512, 128, 8
+    # self-check the premise: even CT=128 overflows for this shape
+    from drn_wsod_tpu.ops.roi_align import _num_levels
+    from drn_wsod_tpu.ops.roi_pool_pallas import LX, _load_extent
+    NW = max(_load_extent(W, 8), 2)
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    assert _num_levels(H, 7) * H * W8 * 128 * 4 + _SPILL_MARGIN > _VMEM_BUDGET
+
+    feat = rng.randn(B, H, W, C).astype(np.float32)
+    x1 = rng.uniform(0, W, (B, P)).astype(np.float32)
+    y1 = rng.uniform(0, H, (B, P)).astype(np.float32)
+    bw = rng.uniform(32, 400, (B, P)).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bw], -1)
+    scale = rng.uniform(1, 2, (B, P)).astype(np.float32)
+
+    got = np.asarray(roi_pool_pallas_grid(
+        jnp.asarray(feat), jnp.asarray(boxes), 1.0, resolution=7,
+        interpret=False, roi_scale=jnp.asarray(scale)))
+    want = np.asarray(roi_pool(jnp.asarray(feat[0]), jnp.asarray(boxes[0]),
+                               1.0, resolution=7))
+    want = want * scale[0][:, None, None, None]
+    np.testing.assert_allclose(got[0], want, rtol=1e-5)

@@ -88,3 +88,119 @@ def test_tta_avg_on_identical_views_matches_single():
                                np.asarray(d2["scores"]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(d1["boxes"]),
                                np.asarray(d2["boxes"]), rtol=1e-5)
+
+
+@pytest.mark.core
+def test_device_view_batch_matches_host():
+    """The traced device-side view builder (_device_view_batch) must agree
+    with the host build_view_batch it replaces: images within PIL's
+    fixed-point rounding (~1.5/255) and boxes/masks/inv exactly."""
+    from drn_wsod_tpu.tta import _device_view_batch, enumerate_views
+
+    rs = np.random.RandomState(3)
+    H0, W0 = 47, 61
+    image = rs.randint(0, 255, (H0, W0, 3), np.uint8)
+    P = 8
+    n = 5
+    boxes = np.zeros((P, 4), np.float32)
+    x1 = rs.uniform(0, 40, n); y1 = rs.uniform(0, 30, n)
+    boxes[:n] = np.stack([x1, y1, x1 + rs.uniform(4, 20, n),
+                          y1 + rs.uniform(4, 15, n)], 1)
+    mask = np.zeros((P,), bool); mask[:n] = True
+    obj = np.zeros((P,), np.float32); obj[:n] = rs.uniform(0, 1, n)
+    labels = np.array([1, 0, 1], np.float32)
+
+    min_sizes, max_size, buckets = (60, 90), 300, (96, 128)
+    views = enumerate_views((H0, W0), min_sizes, max_size, True)
+    # one group: all views in the largest bucket for a single comparison
+    bucket = 128
+    host_batch, host_inv = build_view_batch(
+        image, boxes[:n], obj[:n], labels, min_sizes, max_size, True,
+        (bucket,), P, views=views)
+
+    rb = 64
+    raw = np.pad(image, ((0, rb - H0), (0, rb - W0), (0, 0)), mode="edge")
+    flips = tuple(bool(f) for _, _, f in views)
+    new_hw = jnp.asarray([[nh, nw] for nh, nw, _ in views], jnp.int32)
+    dev_batch, dev_inv = jax.jit(
+        lambda raw, hw0, new_hw, b, m, o, l: _device_view_batch(
+            raw, hw0, new_hw, flips, bucket, b, m, o, l)
+    )(jnp.asarray(raw), jnp.asarray([H0, W0], jnp.int32), new_hw,
+      jnp.asarray(boxes), jnp.asarray(mask), jnp.asarray(obj),
+      jnp.asarray(labels))
+
+    np.testing.assert_allclose(np.asarray(dev_batch.image),
+                               np.asarray(host_batch.image), atol=1.6)
+    np.testing.assert_allclose(np.asarray(dev_batch.proposals),
+                               np.asarray(host_batch.proposals), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(dev_batch.proposal_mask),
+                                  np.asarray(host_batch.proposal_mask))
+    np.testing.assert_allclose(np.asarray(dev_batch.objectness),
+                               np.asarray(host_batch.objectness), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev_batch.image_hw),
+                                  np.asarray(host_batch.image_hw))
+    for k in ("scale", "flip", "width"):
+        np.testing.assert_allclose(np.asarray(dev_inv[k]),
+                                   np.asarray(host_inv[k]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tta_device_path_matches_host_path(tmp_path):
+    """End-to-end GeneralizedRCNNWithTTAAVG: the fused device-side view
+    build (DEVICE_VIEWS=True, default) must reproduce the host-built path's
+    detections on the same record (scores loosely — the resize kernels
+    differ by PIL fixed-point rounding)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_modeling import tiny_cfg
+
+    from PIL import Image
+    from drn_wsod_tpu.engine.defaults import _init_variables
+    from drn_wsod_tpu.models import build_model
+    from drn_wsod_tpu.structures import WSODBatch
+    from drn_wsod_tpu.tta import GeneralizedRCNNWithTTAAVG
+
+    cfg = tiny_cfg("WSDDNROIHeads")
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 200
+    cfg.TEST.AUG.FLIP = True
+    cfg.INPUT.BUCKETS = [64, 96, 128]
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    model = build_model(cfg)
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (40, 56, 3), np.uint8)
+    f = tmp_path / "im.jpg"
+    Image.fromarray(img).save(f, quality=95)
+
+    n = 6
+    x1 = rs.uniform(0, 30, n).astype(np.float32)
+    y1 = rs.uniform(0, 20, n).astype(np.float32)
+    record = {
+        "file_name": str(f),
+        "proposal_boxes": np.stack(
+            [x1, y1, x1 + rs.uniform(6, 20, n).astype(np.float32),
+             y1 + rs.uniform(6, 15, n).astype(np.float32)], 1),
+        "proposal_objectness_logits": rs.uniform(0, 1, n).astype(np.float32),
+        "annotations": [{"category_id": 1}],
+        "height": 40, "width": 56,
+    }
+
+    from __graft_entry__ import _synthetic_batch
+    init_batch = _synthetic_batch(B=1, H=64, W=64, P=8, C=4)
+    variables = _init_variables(model, cfg, init_batch)
+
+    tta_dev = GeneralizedRCNNWithTTAAVG(cfg, model, variables)
+    assert tta_dev.device_views
+    dets_dev = tta_dev(record)
+
+    cfg2 = cfg.clone()
+    cfg2.TEST.AUG.DEVICE_VIEWS = False
+    tta_host = GeneralizedRCNNWithTTAAVG(cfg2, model, variables)
+    assert not tta_host.device_views
+    dets_host = tta_host(record)
+
+    np.testing.assert_allclose(dets_dev["all_scores"],
+                               dets_host["all_scores"], atol=2e-3)
+    np.testing.assert_allclose(dets_dev["all_boxes"],
+                               dets_host["all_boxes"], rtol=1e-3, atol=0.2)
