@@ -109,7 +109,7 @@ def _probe_once(timeout_s: float) -> float:
     return -1.0
 
 
-def _wait_for_tunnel(wd: _Watchdog, budget_s: float = 420.0) -> bool:
+def _wait_for_tunnel(wd: _Watchdog, budget_s: float = 1200.0) -> bool:
     """Probe the tunnel until healthy or the budget runs out. Each probe is
     subprocess-bounded so a full stall can't hang us; backoff between
     attempts gives a degraded tunnel time to recover (STATUS.md: observed
