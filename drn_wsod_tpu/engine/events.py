@@ -13,9 +13,7 @@ import datetime
 import json
 import logging
 import os
-import time
 from collections import defaultdict, deque
-from contextlib import contextmanager
 from typing import Dict, Optional
 
 logger = logging.getLogger(__name__)

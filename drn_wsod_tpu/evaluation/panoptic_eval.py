@@ -16,7 +16,7 @@ Self-contained numpy re-implementations of:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

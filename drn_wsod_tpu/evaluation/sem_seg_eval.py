@@ -9,7 +9,7 @@ Used for the WSJDS joint det+seg head's semantic output.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

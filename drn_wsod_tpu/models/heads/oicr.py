@@ -22,7 +22,7 @@ list: absent classes are masked out of matching by giving their pseudo boxes
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

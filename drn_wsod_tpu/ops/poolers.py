@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-import jax
 import jax.numpy as jnp
 
 from .roi_align import roi_align, roi_pool

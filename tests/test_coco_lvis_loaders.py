@@ -2,7 +2,6 @@ import json
 
 import numpy as np
 
-from drn_wsod_tpu.data import DatasetCatalog
 from drn_wsod_tpu.data.datasets.coco import load_coco_json
 from drn_wsod_tpu.data.datasets.lvis import load_lvis_json
 

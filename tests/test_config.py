@@ -1,8 +1,7 @@
-import os
 
 import pytest
 
-from drn_wsod_tpu.config import CfgNode, get_cfg
+from drn_wsod_tpu.config import get_cfg
 
 pytestmark = pytest.mark.core
 

@@ -2,7 +2,6 @@
 loaders (reference pattern: tests/data/)."""
 
 import os
-import pickle
 import sys
 
 import numpy as np

@@ -7,7 +7,6 @@ import importlib.util
 import json
 import os
 import pickle
-import sys
 
 import jax
 import numpy as np

@@ -1,5 +1,4 @@
 import json
-import os
 
 import jax
 import jax.numpy as jnp
@@ -7,8 +6,8 @@ import numpy as np
 import optax
 import pytest
 
-from drn_wsod_tpu.engine import (CommonMetricPrinter, EventStorage, JSONWriter,
-                                 Trainer, TrainState, create_train_state,
+from drn_wsod_tpu.engine import (EventStorage, JSONWriter,
+                                 Trainer, create_train_state,
                                  get_event_storage, make_multi_train_step,
                                  make_train_step)
 from drn_wsod_tpu.engine.hooks import EvalHook, HookBase, IterationTimer

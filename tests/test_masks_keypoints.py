@@ -3,8 +3,7 @@ detectron2/structures/{masks,keypoints}.py, utils/visualizer.py)."""
 
 import numpy as np
 
-from drn_wsod_tpu.structures import (BitMasks, Keypoints, PolygonMasks,
-                                     rasterize_polygons)
+from drn_wsod_tpu.structures import BitMasks, Keypoints, PolygonMasks
 from drn_wsod_tpu.utils.visualizer import Visualizer
 
 SQUARE = [np.asarray([10.0, 10, 30, 10, 30, 30, 10, 30])]  # 20x20 box

@@ -12,7 +12,6 @@ Reference semantics covered:
 """
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from drn_wsod_tpu.config import get_cfg

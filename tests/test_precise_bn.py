@@ -43,7 +43,7 @@ def test_precise_bn_hook_updates_trainer_state():
     import flax.linen as nn
     import optax
 
-    from drn_wsod_tpu.engine import (PreciseBNHook, Trainer, TrainState,
+    from drn_wsod_tpu.engine import (PreciseBNHook, Trainer,
                                      create_train_state)
 
     class M(nn.Module):

@@ -11,7 +11,6 @@ required).
 """
 
 import argparse
-import itertools
 import os
 import sys
 import time

@@ -9,8 +9,6 @@ on ANY int8 VPU op. int8 tables would cut the pool kernel's vector bytes 2x
 / uint8 so the kernel can auto-select a working narrow dtype per toolchain.
 """
 
-import os
-import sys
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import numpy as np
 
 # TPU-friendly PRNG for per-step dropout masks.
 jax.config.update("jax_default_prng_impl", "rbg")
 
 from drn_wsod_tpu.checkpoint import Checkpointer
 from drn_wsod_tpu.config import add_wsl_config, get_cfg
-from drn_wsod_tpu.data import (DatasetCatalog, DatasetMapper, MetadataCatalog,
+from drn_wsod_tpu.data import (DatasetMapper, MetadataCatalog,
                                build_detection_test_loader,
                                build_detection_train_loader)
 from drn_wsod_tpu.data.datasets.builtin_web import register_all_web
