@@ -6,6 +6,10 @@ container ships none of those, so the checks are implemented directly:
 
   * syntax: every .py must compile (ast.parse);
   * unused imports (module-level, AST-walk; ``# noqa`` opt-out);
+  * undefined names (flake8-F821 analog): Load-context names with no
+    binding anywhere in the file and not a builtin — scope-unaware on
+    purpose (collect-all-bindings), so it never false-positives on
+    closures/comprehensions but still catches deleted-import NameErrors;
   * tabs in indentation, trailing whitespace, CRLF line endings;
   * files missing a module docstring under drn_wsod_tpu/ (public package);
   * ``print(`` in library code (drn_wsod_tpu/) outside utils/logger —
@@ -15,6 +19,7 @@ Exit 0 = clean; 1 = findings (printed as path:line: message).
 """
 
 import ast
+import builtins
 import sys
 from pathlib import Path
 
@@ -47,7 +52,7 @@ def unused_imports(tree, src_lines, path):
         return
     used = set()
     for node in ast.walk(tree):
-        if isinstance(node, ast.Name):
+        if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
             used.add(node.id)
         elif isinstance(node, ast.Attribute):
             n = node
@@ -75,8 +80,69 @@ def unused_imports(tree, src_lines, path):
         note(path, line, f"unused import '{name}'")
 
 
+_BUILTIN_NAMES = set(dir(builtins)) | {
+    "__name__", "__file__", "__doc__", "__package__", "__spec__",
+    "__loader__", "__builtins__", "__debug__", "__path__", "__all__",
+    "__annotations__", "__class__", "__dict__", "__module__",
+    "__qualname__",
+}
+
+
+def _collect_bindings(tree):
+    """Every name the file binds anywhere (scope-unaware superset)."""
+    bound = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)):
+            bound.add(node.id)
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for a in node.names:
+                if a.name == "*":
+                    return None  # star import: can't reason about names
+                bound.add((a.asname or a.name).split(".")[0])
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                               ast.ClassDef)):
+            bound.add(node.name)
+        elif isinstance(node, ast.arg):
+            bound.add(node.arg)
+        elif isinstance(node, ast.ExceptHandler) and node.name:
+            bound.add(node.name)
+        elif isinstance(node, (ast.Global, ast.Nonlocal)):
+            bound.update(node.names)
+        elif isinstance(node, (ast.MatchAs, ast.MatchStar)):
+            if getattr(node, "name", None):
+                bound.add(node.name)
+        elif isinstance(node, ast.MatchMapping) and node.rest:
+            bound.add(node.rest)
+    return bound
+
+
+def undefined_names(tree, src_lines, path):
+    """F821 analog: a Load-context Name with no binding anywhere in the
+    file and not a builtin is a guaranteed NameError if reached."""
+    bound = _collect_bindings(tree)
+    if bound is None:
+        return
+    seen = set()
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load)
+                and node.id not in bound
+                and node.id not in _BUILTIN_NAMES
+                and node.id not in seen):
+            txt = (src_lines[node.lineno - 1]
+                   if node.lineno <= len(src_lines) else "")
+            if "noqa" in txt:
+                continue
+            seen.add(node.id)
+            note(path, node.lineno, f"undefined name '{node.id}'")
+
+
 def check_file(path):
-    src = path.read_text()
+    try:
+        src = path.read_text(errors="replace")
+    except OSError as e:
+        note(path, 0, f"unreadable: {e}")
+        return
     lines = src.splitlines()
     try:
         tree = ast.parse(src)
@@ -84,6 +150,7 @@ def check_file(path):
         note(path, e.lineno or 0, f"syntax error: {e.msg}")
         return
     unused_imports(tree, lines, path)
+    undefined_names(tree, lines, path)
     if "\r\n" in src:
         note(path, 1, "CRLF line endings")
     for i, ln in enumerate(lines, 1):

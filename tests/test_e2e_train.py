@@ -13,6 +13,7 @@ import pytest
 from PIL import Image
 
 from drn_wsod_tpu.config import get_cfg
+from drn_wsod_tpu.data import DatasetCatalog
 
 from drn_wsod_tpu.data.datasets.voc import register_pascal_voc
 
