@@ -4,17 +4,25 @@ re-implementation of the reference stack.
 This is the strongest accuracy-parity proxy available without real VOC data
 (zero-egress container): fabricate a reference-layout (Detectron2-name)
 checkpoint, import it through ``load_reference_weights``, and assert that the
-full inference pipeline — image -> preprocess -> WS-ResNet18-DC5 -> RoIPool ->
+full inference pipeline — image -> preprocess -> backbone -> RoIPool ->
 (objectness+1) scaling -> DAN -> WSDDN / OICR heads -> per-proposal scores —
 matches a from-scratch torch NCHW implementation of the same math.
 
-It jointly covers the conv OIHW->HWIO transpose, FrozenBN affine import
-(weight/bias/running_mean/running_var leaf names), the DAN fc1 input-axis
-permutation (torch flattens (C, 7, 7), we flatten (7, 7, C)), and the
-two-stream / refinement head weights.
+Three backbone import paths are covered (round-4: the flagship config loads
+WS-R50 bottleneck weights, which previously had no torch cross-check):
+
+  * WS-R18 (BasicBlock; reference resnet_ws.py:32-112)
+  * WS-R50 (BottleneckBlock: 1x1 -> 3x3 -> 1x1 + projection shortcuts;
+    reference resnet_ws.py:113-240, builder :616-703)
+  * VGG16 (biased convs, plain4 stride-1 pool + dilated plain5;
+    reference projects/WSL/wsl/modeling/backbone/vgg.py:100-244)
+
+It jointly covers the conv OIHW->HWIO transpose, conv bias import (VGG),
+FrozenBN affine import (weight/bias/running_mean/running_var leaf names), the
+DAN fc1 input-axis permutation (torch flattens (C, 7, 7), we flatten
+(7, 7, C)), and the two-stream / refinement head weights.
 
 Reference layouts: detectron2/checkpoint/c2_model_loading.py:211-313 (names),
-projects/WSL/wsl/modeling/backbone/resnet_ws.py (WS-R18 structure),
 wsl/modeling/roi_heads/fast_rcnn.py:453-517,1316-1596 (heads).
 """
 
@@ -33,12 +41,19 @@ from drn_wsod_tpu.structures import WSODBatch
 
 C_CLS = 4          # classes
 DAN = 64           # DAN fc width
-H = W = 64         # image size; stride 8 -> 8x8 map -> 7x7 after res3 s1 pool
+H = W = 64         # image size; stride 8 -> 8x8 map
 P = 12             # proposals (last 2 padded)
 K = 3              # OICR refinement branches
 EPS = 1e-5
 
 PIXEL_MEAN = (102.9801, 115.9465, 122.7717)
+
+# WS-R50 test width (structure-identical to the flagship, narrower for CPU):
+# stem 16ch, res2 out 32 / bottleneck 8, doubling per stage -> res5 out 256.
+R50_STEM = 16
+R50_RES2_OUT = 32
+R50_BC = 8
+R50_BLOCKS = [3, 4, 6, 3]
 
 
 # --------------------------------------------------------------------------
@@ -46,7 +61,7 @@ PIXEL_MEAN = (102.9801, 115.9465, 122.7717)
 # --------------------------------------------------------------------------
 
 def _conv_w(rng, o, i, k):
-    # half He std: keeps activations O(1) through 8 residual blocks so the
+    # half He std: keeps activations O(1) through deep towers so the
     # comparison is not dominated by saturated softmaxes / fp blowup
     std = 0.5 * np.sqrt(2.0 / (i * k * k))
     return (rng.randn(o, i, k, k) * std).astype(np.float32)
@@ -59,17 +74,18 @@ def _norm_params(rng, c, prefix, sd):
     sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
 
 
-def make_state_dict(seed=0):
-    """WS-ResNet18-DC5 + DAN + WSDDN + 3 OICR branches, Detectron2 names."""
-    rng = np.random.RandomState(seed)
-    sd = {}
-    # stem: 3 convs at 64ch
+def _stem_sd(rng, sd, out_c):
     in_c = 3
     for i in (1, 2, 3):
-        sd[f"backbone.stem.conv{i}.weight"] = _conv_w(rng, 64, in_c, 3)
-        _norm_params(rng, 64, f"backbone.stem.conv{i}.norm", sd)
-        in_c = 64
-    # stages: (name, out_channels); R18 = 2 BasicBlocks per stage
+        sd[f"backbone.stem.conv{i}.weight"] = _conv_w(rng, out_c, in_c, 3)
+        _norm_params(rng, out_c, f"backbone.stem.conv{i}.norm", sd)
+        in_c = out_c
+
+
+def make_backbone_sd_r18(rng):
+    """WS-ResNet18-DC5, Detectron2 names. Returns (sd, feature_channels)."""
+    sd = {}
+    _stem_sd(rng, sd, 64)
     stages = [("res2", 64), ("res3", 128), ("res4", 256), ("res5", 512)]
     prev = 64
     for name, out in stages:
@@ -83,21 +99,64 @@ def make_state_dict(seed=0):
                 sd[f"{pre}.shortcut.weight"] = _conv_w(rng, out, prev, 1)
                 _norm_params(rng, out, f"{pre}.shortcut.norm", sd)
             prev = out
-    # DAN: fc1 consumes flattened (C=512, 7, 7) torch-order features
-    d_in = 512 * 7 * 7
+    return sd, 512
+
+
+def make_backbone_sd_r50(rng):
+    """WS-ResNet50-DC5 (BottleneckBlock), Detectron2 names, narrow width."""
+    sd = {}
+    _stem_sd(rng, sd, R50_STEM)
+    prev = R50_STEM
+    out, bc = R50_RES2_OUT, R50_BC
+    for stage_i, nblocks in enumerate(R50_BLOCKS):
+        name = f"res{stage_i + 2}"
+        for b in range(nblocks):
+            pre = f"backbone.{name}.{b}"
+            sd[f"{pre}.conv1.weight"] = _conv_w(rng, bc, prev, 1)
+            _norm_params(rng, bc, f"{pre}.conv1.norm", sd)
+            sd[f"{pre}.conv2.weight"] = _conv_w(rng, bc, bc, 3)
+            _norm_params(rng, bc, f"{pre}.conv2.norm", sd)
+            sd[f"{pre}.conv3.weight"] = _conv_w(rng, out, bc, 1)
+            _norm_params(rng, out, f"{pre}.conv3.norm", sd)
+            if prev != out:
+                sd[f"{pre}.shortcut.weight"] = _conv_w(rng, out, prev, 1)
+                _norm_params(rng, out, f"{pre}.shortcut.norm", sd)
+            prev = out
+        out, bc = out * 2, bc * 2
+    return sd, R50_RES2_OUT * 8
+
+
+def make_backbone_sd_vgg16(rng):
+    """VGG16 (biased convs, no norms), Detectron2 names with the
+    nn.Sequential stage index: backbone.plain1.0.conv1.weight ..."""
+    sd = {}
+    stages = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+    prev = 3
+    for i, (out, nconv) in enumerate(stages, start=1):
+        for j in range(1, nconv + 1):
+            pre = f"backbone.plain{i}.0.conv{j}"
+            sd[f"{pre}.weight"] = _conv_w(rng, out, prev, 3)
+            sd[f"{pre}.bias"] = (rng.randn(out) * 0.05).astype(np.float32)
+            prev = out
+    return sd, 512
+
+
+def make_heads_sd(rng, sd, feat_c, refine=True):
+    """DAN + WSDDN two-stream (+ optional OICR refinement branches)."""
+    d_in = feat_c * 7 * 7
     sd["roi_heads.box_head.fc1.weight"] = (
         rng.randn(DAN, d_in).astype(np.float32) * 0.005)
     sd["roi_heads.box_head.fc1.bias"] = np.full(DAN, 0.1, np.float32)
     sd["roi_heads.box_head.fc2.weight"] = (
         rng.randn(DAN, DAN).astype(np.float32) * 0.02)
     sd["roi_heads.box_head.fc2.bias"] = np.full(DAN, 0.1, np.float32)
-    # WSDDN two streams
     for s in ("cls", "det"):
         sd[f"roi_heads.box_predictor.{s}.weight"] = (
             rng.randn(C_CLS, DAN).astype(np.float32) * 0.02)
         sd[f"roi_heads.box_predictor.{s}.bias"] = (
             rng.randn(C_CLS).astype(np.float32) * 0.01)
-    # OICR refinement branches: (C+1)-way cls + box deltas
+    if not refine:
+        return
     for k in range(K):
         pre = f"roi_heads.box_refinery.{k}"
         sd[f"{pre}.cls_score.weight"] = (
@@ -107,7 +166,16 @@ def make_state_dict(seed=0):
         sd[f"{pre}.bbox_pred.weight"] = (
             rng.randn(C_CLS * 4, DAN).astype(np.float32) * 0.001)
         sd[f"{pre}.bbox_pred.bias"] = np.zeros(C_CLS * 4, np.float32)
-    return sd
+
+
+def make_state_dict(backbone, refine, seed=0):
+    rng = np.random.RandomState(seed)
+    gen = {"r18": make_backbone_sd_r18,
+           "r50": make_backbone_sd_r50,
+           "vgg16": make_backbone_sd_vgg16}[backbone]
+    sd, feat_c = gen(rng)
+    make_heads_sd(rng, sd, feat_c, refine=refine)
+    return sd, feat_c
 
 
 # --------------------------------------------------------------------------
@@ -134,29 +202,47 @@ def conv_bn_relu(x, sd, prefix, stride=1, dilation=1, relu=True):
     return F.relu(x) if relu else x
 
 
+def _shortcut(x, sd, prefix):
+    if f"{prefix}.shortcut.weight" in sd:
+        sc = F.conv2d(x, t(sd, f"{prefix}.shortcut.weight"))
+        return frozen_bn(sc, sd, f"{prefix}.shortcut.norm")
+    return x
+
+
 def basic_block(x, sd, prefix, dilation=1, pool_stride=None):
     out = conv_bn_relu(x, sd, f"{prefix}.conv1", dilation=dilation)
     out = conv_bn_relu(out, sd, f"{prefix}.conv2", dilation=dilation,
                        relu=False)
-    if f"{prefix}.shortcut.weight" in sd:
-        sc = F.conv2d(x, t(sd, f"{prefix}.shortcut.weight"))
-        sc = frozen_bn(sc, sd, f"{prefix}.shortcut.norm")
-    else:
-        sc = x
-    out = F.relu(out + sc)
+    out = F.relu(out + _shortcut(x, sd, prefix))
     if pool_stride is not None:
         out = F.max_pool2d(out, 2, stride=pool_stride)
     return out
 
 
-def torch_backbone(img_nchw, sd):
-    """WS-R18-DC5: 3-conv stem + pool, res2 (trailing s2 pool), res3
-    (trailing s1 pool), res4/res5 dilation 2 (resnet_ws.py:671-678)."""
+def bottleneck_block(x, sd, prefix, dilation=1, pool_stride=None):
+    """Reference WS BottleneckBlock (resnet_ws.py:113-240): all convs stride
+    1, dilation only on the 3x3, trailing pool on the last stage block."""
+    out = conv_bn_relu(x, sd, f"{prefix}.conv1")
+    out = conv_bn_relu(out, sd, f"{prefix}.conv2", dilation=dilation)
+    out = conv_bn_relu(out, sd, f"{prefix}.conv3", relu=False)
+    out = F.relu(out + _shortcut(x, sd, prefix))
+    if pool_stride is not None:
+        out = F.max_pool2d(out, 2, stride=pool_stride)
+    return out
+
+
+def _torch_stem(img_nchw, sd):
     x = img_nchw - torch.tensor(PIXEL_MEAN)[None, :, None, None]
     for i in (1, 2, 3):
         x = conv_bn_relu(x, sd, f"backbone.stem.conv{i}",
                          stride=2 if i == 1 else 1)
-    x = F.max_pool2d(x, 2, stride=2)
+    return F.max_pool2d(x, 2, stride=2)
+
+
+def torch_backbone_r18(img_nchw, sd):
+    """WS-R18-DC5: 3-conv stem + pool, res2 (trailing s2 pool), res3
+    (trailing s1 pool), res4/res5 dilation 2 (resnet_ws.py:671-678)."""
+    x = _torch_stem(img_nchw, sd)
     for b in range(2):
         x = basic_block(x, sd, f"backbone.res2.{b}",
                         pool_stride=2 if b == 1 else None)
@@ -168,6 +254,41 @@ def torch_backbone(img_nchw, sd):
     for b in range(2):
         x = basic_block(x, sd, f"backbone.res5.{b}", dilation=2)
     return x
+
+
+def torch_backbone_r50(img_nchw, sd):
+    """WS-R50-DC5: same stage plan as R18 with [3,4,6,3] bottlenecks."""
+    x = _torch_stem(img_nchw, sd)
+    stage_cfg = [("res2", 3, 1, 2), ("res3", 4, 1, 1),
+                 ("res4", 6, 2, None), ("res5", 3, 2, None)]
+    for name, nblocks, dil, pool in stage_cfg:
+        for b in range(nblocks):
+            x = bottleneck_block(
+                x, sd, f"backbone.{name}.{b}", dilation=dil,
+                pool_stride=pool if b == nblocks - 1 else None)
+    return x
+
+
+def torch_backbone_vgg16(img_nchw, sd):
+    """VGG16 (vgg.py:100-244): biased 3x3 convs + ReLU; pools after
+    plain1-3 (s2) and plain4 (s1 under CONV5_DILATION=2); plain5 dilated."""
+    x = img_nchw - torch.tensor(PIXEL_MEAN)[None, :, None, None]
+    stages = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+    for i, (_, nconv) in enumerate(stages, start=1):
+        dil = 2 if i == 5 else 1
+        for j in range(1, nconv + 1):
+            pre = f"backbone.plain{i}.0.conv{j}"
+            x = F.conv2d(x, t(sd, f"{pre}.weight"), t(sd, f"{pre}.bias"),
+                         padding=dil, dilation=dil)
+            x = F.relu(x)
+        if i <= 4:
+            x = F.max_pool2d(x, 2, stride=1 if i == 4 else 2)
+    return x
+
+
+TORCH_BACKBONES = {"r18": torch_backbone_r18,
+                   "r50": torch_backbone_r50,
+                   "vgg16": torch_backbone_vgg16}
 
 
 def torch_roi_pool(fmap, boxes, scale, R=7):
@@ -214,10 +335,19 @@ def torch_heads(pooled_flat, sd, head):
 # the test
 # --------------------------------------------------------------------------
 
-def _cfg(head):
+def _cfg(backbone, head):
     cfg = get_cfg()
-    cfg.MODEL.RESNETS.DEPTH = 18
-    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    if backbone == "r18":
+        cfg.MODEL.RESNETS.DEPTH = 18
+        cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    elif backbone == "r50":
+        cfg.MODEL.RESNETS.DEPTH = 50
+        cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = R50_STEM
+        cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = R50_RES2_OUT
+        cfg.MODEL.RESNETS.WIDTH_PER_GROUP = R50_BC
+    else:
+        cfg.MODEL.BACKBONE.NAME = "build_vgg_backbone"
+        cfg.MODEL.ROI_HEADS.IN_FEATURES = ["plain5"]
     cfg.MODEL.ROI_HEADS.NAME = head
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = C_CLS
     cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [DAN, DAN]
@@ -250,17 +380,22 @@ def _batch(seed=1):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("head", ["WSDDNROIHeads", "OICRROIHeads"])
-def test_imported_weights_forward_parity(head, tmp_path):
-    sd = make_state_dict()
-    if head == "WSDDNROIHeads":
-        # pure WSDDN carries no refinement branches
-        sd = {k: v for k, v in sd.items() if "box_refinery" not in k}
+@pytest.mark.parametrize("backbone,head", [
+    ("r18", "WSDDNROIHeads"),
+    ("r18", "OICRROIHeads"),
+    ("r50", "OICRROIHeads"),     # flagship: oicr_WSR_50_DC5_1x loads R50
+    ("r50", "WSDDNROIHeads"),
+    ("vgg16", "WSDDNROIHeads"),
+    ("vgg16", "OICRROIHeads"),
+])
+def test_imported_weights_forward_parity(backbone, head, tmp_path):
+    refine = head == "OICRROIHeads"
+    sd, _ = make_state_dict(backbone, refine=refine)
     path = tmp_path / "ref_model.pkl"
     with open(path, "wb") as f:
         pickle.dump({"model": sd}, f)
 
-    cfg = _cfg(head)
+    cfg = _cfg(backbone, head)
     model = build_model(cfg)
     batch = _batch()
     variables = model.init({"params": jax.random.PRNGKey(0),
@@ -278,27 +413,28 @@ def test_imported_weights_forward_parity(head, tmp_path):
 
     # --- independent torch pipeline ---
     img = torch.from_numpy(np.asarray(batch.image)).permute(0, 3, 1, 2)
-    fmap = torch_backbone(img, sd)
-    assert fmap.shape[1] == 512
-    tboxes = torch.from_numpy(np.asarray(batch.proposals)[0])
-    pooled = torch_roi_pool(fmap, tboxes, 1.0 / 8)        # (P, C, 7, 7)
-    obj = torch.from_numpy(np.asarray(batch.objectness)[0])
-    m = torch.from_numpy(np.asarray(batch.proposal_mask)[0].astype(np.float32))
-    pooled = pooled * ((obj + 1.0) * m)[:, None, None, None]
-    pooled_flat = pooled.reshape(P, -1)                  # torch (C,7,7) order
+    with torch.no_grad():
+        fmap = TORCH_BACKBONES[backbone](img, sd)
+        tboxes = torch.from_numpy(np.asarray(batch.proposals)[0])
+        pooled = torch_roi_pool(fmap, tboxes, 1.0 / 8)    # (P, C, 7, 7)
+        obj = torch.from_numpy(np.asarray(batch.objectness)[0])
+        m = torch.from_numpy(
+            np.asarray(batch.proposal_mask)[0].astype(np.float32))
+        pooled = pooled * ((obj + 1.0) * m)[:, None, None, None]
+        pooled_flat = pooled.reshape(P, -1)               # torch (C,7,7) order
 
-    if head == "WSDDNROIHeads":
-        cls, det = torch_heads(pooled_flat, sd, "WSDDN")
-        cls_sm = F.softmax(cls, dim=1)
-        det_masked = det.masked_fill(m[:, None] == 0, float("-inf"))
-        det_sm = F.softmax(det_masked, dim=0) * m[:, None]
-        want = (cls_sm * det_sm).numpy()
-        got = scores[:, :C_CLS]
-        np.testing.assert_allclose(scores[:, C_CLS], 0.0)  # bg column
-    else:
-        want = torch_heads(pooled_flat, sd, "OICR").numpy()
-        want = want * m[:, None].numpy()
-        got = scores
+        if head == "WSDDNROIHeads":
+            cls, det = torch_heads(pooled_flat, sd, "WSDDN")
+            cls_sm = F.softmax(cls, dim=1)
+            det_masked = det.masked_fill(m[:, None] == 0, float("-inf"))
+            det_sm = F.softmax(det_masked, dim=0) * m[:, None]
+            want = (cls_sm * det_sm).numpy()
+            got = scores[:, :C_CLS]
+            np.testing.assert_allclose(scores[:, C_CLS], 0.0)  # bg column
+        else:
+            want = torch_heads(pooled_flat, sd, "OICR").numpy()
+            want = want * m[:, None].numpy()
+            got = scores
 
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
     # sanity: the comparison is not vacuous (scores have real mass)
