@@ -108,11 +108,13 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
         pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2,
-        # CSC backprops image gradients THROUGH the pooler (CPG maps), and
-        # the Pallas kernel is forward-only — use the differentiable gather
-        # formulation there.
+        # CSC backprops image gradients THROUGH the pooler (CPG maps), and a
+        # trainable backbone (FREEZE_AT < 5) needs feature gradients through
+        # it too; the Pallas kernel is forward-only — use the differentiable
+        # gather formulation in both cases.
         use_pallas_pooler=(cfg.MODEL.ROI_BOX_HEAD.USE_PALLAS_POOLER
-                           and head_name not in CSC_HEAD_NAMES),
+                           and head_name not in CSC_HEAD_NAMES
+                           and cfg.MODEL.BACKBONE.FREEZE_AT >= 5),
         dan_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
         dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
         mean_loss=cfg.WSL.MEAN_LOSS,

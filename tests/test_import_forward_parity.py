@@ -183,7 +183,8 @@ def make_state_dict(backbone, refine, seed=0):
 # --------------------------------------------------------------------------
 
 def t(sd, name):
-    return torch.from_numpy(sd[name])
+    v = sd[name]
+    return v if isinstance(v, torch.Tensor) else torch.from_numpy(v)
 
 
 def frozen_bn(x, sd, prefix):
