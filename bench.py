@@ -193,18 +193,31 @@ def main():
         out.update(extra)
         return out
 
-    # --- headline: `iters` steps inside ONE dispatch (lax.scan over the
-    # donated state) — the Trainer's shipped execution mode
-    # (engine/trainer.py: steps_per_dispatch). Through the remote-TPU tunnel
-    # a per-step dispatch additionally pays ~5ms/step of enqueue bookkeeping
-    # that a locally-attached host would not (PERF.md dispatch bisect);
-    # trajectory parity between the two is tested
+    # --- headline: `iters` steps inside ONE dispatch — the Trainer's
+    # SHIPPED execution path (engine/trainer.py:make_multi_train_step,
+    # lax.scan over the donated state and a K-STACKED batch, so every
+    # scanned step consumes FRESH per-step data from HBM exactly like the
+    # CLI trainer does — not one cached batch). Through the remote-TPU
+    # tunnel a per-step dispatch additionally pays ~5ms/step of enqueue
+    # bookkeeping that a locally-attached host would not (PERF.md dispatch
+    # bisect); trajectory parity between the two is tested
     # (tests/test_engine.py::test_scanned_multi_step_matches_dispatched).
-    def multi(state, batch, rng):
-        def body(st, _):
-            st, m = raw_step(st, batch, rng)
-            return st, m["total_loss"]
-        return jax.lax.scan(body, state, None, length=iters)
+    import jax.numpy as jnp
+
+    from drn_wsod_tpu.engine import make_multi_train_step
+
+    wd.kick("stacked-batch build")
+    step_batches = [batch] + [
+        _synthetic_batch(B=B, H=H, W=H, P=P,
+                         C=cfg.MODEL.ROI_HEADS.NUM_CLASSES, seed=i + 1)
+        for i in range(iters - 1)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *step_batches)
+    del step_batches
+
+    def multi(state, stacked_batch, rng):
+        st, metrics = make_multi_train_step(raw_step)(state, stacked_batch,
+                                                      rng)
+        return st, metrics["total_loss"]
 
     mstep = jax.jit(multi, donate_argnums=(0,))
     # NOTE: jax.block_until_ready does NOT synchronize on the axon platform
@@ -212,11 +225,11 @@ def main():
     # reliable fence, and the donated state chain forces every intermediate
     # step to have completed.
     wd.kick("scan compile + warmup")
-    state, losses = mstep(state, batch, rng)
+    state, losses = mstep(state, stacked, rng)
     float(jax.device_get(losses[-1]))
     wd.kick("scan timed run")
     t0 = time.perf_counter()
-    state, losses = mstep(state, batch, rng)
+    state, losses = mstep(state, stacked, rng)
     float(jax.device_get(losses[-1]))
     dt_scan = time.perf_counter() - t0
     scan_img_s = B * iters / dt_scan / n_chips

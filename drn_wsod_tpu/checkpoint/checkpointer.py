@@ -30,8 +30,13 @@ class Checkpointer:
         )
 
     def save(self, state, step: int):
-        # Only one process writes (multi-host guard, the jax equivalent of
-        # the reference's rank-0-only save).
+        # Multi-host: EVERY process must call save — orbax coordinates the
+        # write internally (each process persists its addressable shards;
+        # the primary host commits the metadata). This is the jax-native
+        # equivalent of the reference's rank-0-only save
+        # (detection_checkpoint.py:17-24), where rank 0 holds the full
+        # replicated state; exercised for real by the 2-process harness
+        # (tests/mh_worker_script.py).
         self._mngr.save(step, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
         logger.info(f"Saved checkpoint at step {step} to {self._dir}")

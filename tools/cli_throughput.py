@@ -105,6 +105,7 @@ SOLVER:
   CHECKPOINT_PERIOD: {args.iters}
 TEST:
   EVAL_PERIOD: 0
+  EVAL_TRAIN: False
   AUG:
     ENABLED: False
 VIS_PERIOD: 0

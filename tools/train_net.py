@@ -130,25 +130,30 @@ def do_test(cfg, model, variables, eval_train: bool = False):
     from drn_wsod_tpu.data.loader import get_detection_dataset_dicts
 
     results = {}
-    datasets = list(cfg.DATASETS.TEST)
-    proposal_files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+    # Pair each dataset with ITS OWN source's proposal list — indexing a
+    # concatenated proposal list by a concatenated dataset index silently
+    # crosses sources when their lengths differ (e.g. TEST: () overridden
+    # while the base config's PROPOSAL_FILES_TEST stays populated fed the
+    # TEST pkl to the TRAIN CorLoc eval).
+    def _pairs(names, files):
+        files = list(files)
+        return [(n, files[i] if i < len(files) else None)
+                for i, n in enumerate(names)]
+
+    pairs = _pairs(cfg.DATASETS.TEST, cfg.DATASETS.PROPOSAL_FILES_TEST)
     if eval_train and cfg.TEST.EVAL_TRAIN:
-        datasets += list(cfg.DATASETS.TRAIN)
-        proposal_files += list(cfg.DATASETS.PROPOSAL_FILES_TRAIN)
+        pairs += _pairs(cfg.DATASETS.TRAIN, cfg.DATASETS.PROPOSAL_FILES_TRAIN)
 
     mapper = DatasetMapper(cfg, is_train=False)
-    for i, name in enumerate(datasets):
-        pf = [proposal_files[i]] if cfg.MODEL.LOAD_PROPOSALS and \
-            i < len(proposal_files) else ()
+    for name, prop_file in pairs:
+        pf = [prop_file] if cfg.MODEL.LOAD_PROPOSALS and prop_file else ()
         records = get_detection_dataset_dicts([name], pf, filter_empty=False)
         etype = MetadataCatalog.get(name).get("evaluator_type", "pascal_voc")
         if etype in ("sem_seg", "cityscapes_sem_seg") or \
                 etype == "coco_panoptic_seg" or \
                 (etype == "cityscapes_instance" and cfg.MODEL.MASK_ON):
             results[name] = do_dense_test(cfg, model, variables, name,
-                                          mapper, records, etype,
-                                          proposal_files[i]
-                                          if i < len(proposal_files) else None)
+                                          mapper, records, etype, prop_file)
             logger.info(f"Results on {name}: {results[name]}")
             continue
         if cfg.TEST.AUG.ENABLED:
@@ -168,9 +173,7 @@ def do_test(cfg, model, variables, eval_train: bool = False):
             results[name] = gather_and_evaluate(evaluator)
         else:
             loader = build_detection_test_loader(
-                cfg, name, mapper,
-                proposal_file=proposal_files[i]
-                if i < len(proposal_files) else None)
+                cfg, name, mapper, proposal_file=prop_file)
             # records inside the loader include proposals; reuse them
             detect = make_detect_fn(model,
                                     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
