@@ -1,0 +1,232 @@
+"""Synthetic accuracy ladder (VERDICT r4 item 8): the cheapest in-container
+proxy for "the OICR refinement machinery actually refines".
+
+Trains three seed-pinned variants of the same WS-R18 model on a synthetic
+VOC dataset whose images contain a textured object on clutter, with
+proposals spanning the IoU spectrum (part boxes, jittered GT, background):
+
+  * wsddn  — WSDDNROIHeads, no refinement branches (MIL head alone);
+  * oicr   — OICRROIHeads, 3 refinement branches, no box regression;
+  * oicr_reg — OICRROIHeads, 4 branches, REFINE_REG [F,F,F,T]
+    (the reference reg/ config family, e.g.
+    configs/PascalVOC-Detection/reg/oicr_WSR_18_DC5_1x.yaml).
+
+Asserts the orderings the OICR paper's machinery implies (reference
+projects/WSL/wsl/modeling/roi_heads/roi_heads_oicr.py): refinement
+AP50 > WSDDN-alone AP50, and the reg variant >= no-reg - eps.
+
+Usage:
+  JAX_PLATFORMS=cpu  python dev/acc_ladder.py --iters 2000    # slow, exact
+  JAX_PLATFORMS=axon python dev/acc_ladder.py --iters 2000    # TPU
+
+Prints one JSON line per variant plus a final summary line; exits nonzero
+if an ordering fails. Numbers are recorded in PERF.md ("Synthetic accuracy
+ladder").
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import tempfile
+
+import numpy as np
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+CLASSES = ("cat", "dog")
+
+
+def _paint(rng, hw, cls, with_obj=True):
+    """Clutter background + one class-textured object with a bright part.
+
+    The object body carries the class signal (channel bias); a small
+    high-contrast "part" patch at the center is class-agnostic bait for
+    part-domination. Returns (image u8, gt box)."""
+    img = rng.randint(40, 90, (hw, hw, 3)).astype(np.int32)
+    # clutter: a few random neutral rectangles
+    for _ in range(4):
+        cx1, cy1 = rng.randint(0, hw - 12, 2)
+        cw, ch = rng.randint(6, 16, 2)
+        img[cy1:cy1 + ch, cx1:cx1 + cw] += rng.randint(-25, 25)
+    if not with_obj:
+        return np.clip(img, 0, 255).astype(np.uint8), None
+    w, h = rng.randint(int(hw * 0.35), int(hw * 0.55), 2)
+    x1 = rng.randint(2, hw - w - 2)
+    y1 = rng.randint(2, hw - h - 2)
+    body = rng.randint(-15, 15, (h, w, 3))
+    body[:, :, cls] += 70                     # class-colored body
+    img[y1:y1 + h, x1:x1 + w] += body
+    # class-agnostic bright part at the center (the WSDDN bait)
+    px, py, ps = x1 + w // 2, y1 + h // 2, max(3, min(w, h) // 5)
+    img[py - ps:py + ps, px - ps:px + ps] = 230
+    return (np.clip(img, 0, 255).astype(np.uint8),
+            np.array([x1, y1, x1 + w - 1, y1 + h - 1], np.float32))
+
+
+def _proposals(rng, gt, hw, n_prop):
+    """IoU-spectrum proposals: center-part boxes, jittered GT, random bg."""
+    x1, y1, x2, y2 = gt
+    w, h = x2 - x1 + 1, y2 - y1 + 1
+    boxes = []
+    for _ in range(n_prop // 4):             # part boxes (IoU ~0.1-0.3)
+        s = rng.uniform(0.25, 0.45)
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        boxes.append([cx - w * s / 2, cy - h * s / 2,
+                      cx + w * s / 2, cy + h * s / 2])
+    for _ in range(n_prop // 2):             # jittered GT (IoU ~0.4-0.9)
+        j = rng.uniform(-0.25, 0.25, 4) * [w, h, w, h]
+        boxes.append([x1 + j[0], y1 + j[1], x2 + j[2], y2 + j[3]])
+    while len(boxes) < n_prop - 1:           # background
+        bx1, by1 = rng.uniform(0, hw * 0.6, 2)
+        bw, bh = rng.uniform(8, hw * 0.5, 2)
+        boxes.append([bx1, by1, bx1 + bw, by1 + bh])
+    boxes.append(list(gt))                   # one exact-GT proposal
+    b = np.clip(np.asarray(boxes, np.float32), 0, hw - 1)
+    b[:, 2] = np.maximum(b[:, 2], b[:, 0] + 4)
+    b[:, 3] = np.maximum(b[:, 3], b[:, 1] + 4)
+    return b
+
+
+def make_dataset(root, split, n_images, hw, n_prop, seed):
+    d = os.path.join(root, "VOC2007")
+    os.makedirs(os.path.join(d, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(d, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(d, "ImageSets", "Main"), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    ids, boxes_all, logits_all = [], [], []
+    for i in range(n_images):
+        name = f"{split}{i:04d}"
+        ids.append(name)
+        cls_i = i % len(CLASSES)
+        img, gt = _paint(rng, hw, cls_i)
+        Image.fromarray(img).save(os.path.join(d, "JPEGImages",
+                                               name + ".jpg"))
+        x1, y1, x2, y2 = (int(v) for v in gt)
+        xml = f"""<annotation><size><width>{hw}</width><height>{hw}</height>
+<depth>3</depth></size>
+<object><name>{CLASSES[cls_i]}</name><difficult>0</difficult>
+<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+</object></annotation>"""
+        with open(os.path.join(d, "Annotations", name + ".xml"), "w") as f:
+            f.write(xml)
+        boxes_all.append(_proposals(rng, gt, hw, n_prop))
+        logits_all.append(rng.uniform(0, 1, n_prop).astype(np.float32))
+    with open(os.path.join(d, "ImageSets", "Main", split + ".txt"),
+              "w") as f:
+        f.write("\n".join(ids) + "\n")
+    prop_file = os.path.join(root, f"props_{split}.pkl")
+    with open(prop_file, "wb") as f:
+        pickle.dump({"ids": ids, "boxes": boxes_all,
+                     "objectness_logits": logits_all, "bbox_mode": 0}, f)
+    return d, prop_file
+
+
+def ladder_cfg(out_dir, d, props_tr, props_te, variant, iters, hw, n_prop,
+               seed):
+    from drn_wsod_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = out_dir
+    cfg.SEED = seed
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = len(CLASSES)
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = n_prop
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [256, 256]
+    cfg.MODEL.ROI_BOX_HEAD.DROPOUT = 0.0
+    if variant == "wsddn":
+        cfg.MODEL.ROI_HEADS.NAME = "WSDDNROIHeads"
+    else:
+        cfg.MODEL.ROI_HEADS.NAME = "OICRROIHeads"
+        if variant == "oicr":
+            cfg.WSL.REFINE_NUM = 3
+            cfg.WSL.REFINE_REG = [False, False, False]
+        else:                                 # oicr_reg: the reg/ family
+            cfg.WSL.REFINE_NUM = 4
+            cfg.WSL.REFINE_REG = [False, False, False, True]
+    cfg.INPUT.MIN_SIZE_TRAIN = (hw,)
+    cfg.INPUT.MAX_SIZE_TRAIN = hw
+    cfg.INPUT.MIN_SIZE_TEST = hw
+    cfg.INPUT.MAX_SIZE_TEST = hw
+    cfg.INPUT.BUCKETS = [hw]
+    cfg.INPUT.CROP.ENABLED = False
+    cfg.DATASETS.TRAIN = ("ladder_train",)
+    cfg.DATASETS.TEST = ("ladder_test", "ladder_train")
+    cfg.DATASETS.PROPOSAL_FILES_TRAIN = (props_tr,)
+    cfg.DATASETS.PROPOSAL_FILES_TEST = (props_te, props_tr)
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    cfg.SOLVER.MAX_ITER = iters
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.STEPS = (int(iters * 0.75),)
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.TEST.AUG.ENABLED = False
+    cfg.DATALOADER.PREFETCH = 2
+    return cfg
+
+
+def run_variant(variant, root, iters, hw, n_prop, seed):
+    import train_net
+    from drn_wsod_tpu.data import DatasetCatalog
+    from drn_wsod_tpu.data.datasets.voc import register_pascal_voc
+    from drn_wsod_tpu.models import build_model
+
+    d, props_tr = make_dataset(root, "train", 16, hw, n_prop, seed)
+    _, props_te = make_dataset(root, "test", 16, hw, n_prop, seed + 1)
+    for name, split in (("ladder_train", "train"), ("ladder_test", "test")):
+        if name in DatasetCatalog:
+            DatasetCatalog.remove(name)
+        register_pascal_voc(name, d, split, 2007, CLASSES)
+
+    out = os.path.join(root, "out_" + variant)
+    cfg = ladder_cfg(out, d, props_tr, props_te, variant, iters, hw,
+                     n_prop, seed)
+    model = build_model(cfg)
+    state = train_net.do_train(cfg, model, resume=False)
+    results = train_net.do_test(cfg, model, state.params)
+    ap50 = results["ladder_test"]["bbox"]["AP50"]
+    corloc = results["ladder_train"]["bbox CorLoc"]["CL50"]
+    row = {"variant": variant, "iters": iters, "AP50_test": round(ap50, 2),
+           "CorLoc50_train": round(corloc, 2)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument("--n-prop", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--variants", default="wsddn,oicr,oicr_reg")
+    ap.add_argument("--root", default=None,
+                    help="reuse a dataset/output dir (default: fresh tmp)")
+    args = ap.parse_args()
+
+    root = args.root or tempfile.mkdtemp(prefix="acc_ladder_")
+    rows = {}
+    for v in args.variants.split(","):
+        rows[v] = run_variant(v, root, args.iters, args.hw, args.n_prop,
+                              args.seed)
+
+    summary = {"ladder": rows, "root": root}
+    ok = True
+    if "wsddn" in rows and "oicr" in rows:
+        ok &= rows["oicr"]["AP50_test"] > rows["wsddn"]["AP50_test"]
+    if "oicr" in rows and "oicr_reg" in rows:
+        ok &= (rows["oicr_reg"]["AP50_test"]
+               >= rows["oicr"]["AP50_test"] - 1.0)
+    summary["orderings_hold"] = bool(ok)
+    print(json.dumps(summary), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

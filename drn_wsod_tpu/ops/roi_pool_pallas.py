@@ -67,8 +67,16 @@ def _load_extent(W: int, R: int) -> int:
     return -(-(7 + _max_span(W, R)) // LX)
 
 
-def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
+def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True,
+                      band_start=None, band_rows=0, num_levels=None):
     """Per-bin gather coords for the y-RMQ + masked-16-window-x kernel.
+
+    ``band_start``/``band_rows``: banded mode — y rows are emitted RELATIVE
+    to each roi's band (``(row - band_start) + level * band_rows``) so the
+    kernel can run against a band-sized level-stack scratch; every roi must
+    be fully contained in its band (guaranteed by _partition_small_rois).
+    ``num_levels`` caps the table's level count (banded tables hold only the
+    levels short rois can reach).
 
     Returns (unbroadcast — y-data per y-bin, x-data per x-bin; the kernel's
     bin ids are static so it splits ``b`` into (yb, xb) at trace time):
@@ -95,7 +103,7 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
         6: ROW-SHARED + DEGENERATE-Y over TWO windows.
       bin_scale_mask: (P, R, R) f32 — 1 on on-map bins, 0 on empty bins.
     """
-    Ky = _num_levels(H, R)
+    Ky = _num_levels(H, R) if num_levels is None else num_levels
     scaled = jnp.round(boxes.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
     x1, y1 = scaled[:, 0], scaled[:, 1]
     x2, y2 = scaled[:, 2], scaled[:, 3]
@@ -103,8 +111,16 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
 
     ylo, y2p, ly, vy = _rmq_bounds(y1, roi_h, H, R, Ky)      # (P, R)
-    ys = jnp.stack([jnp.clip(ylo, 0, H - 1) + ly * H,
-                    jnp.clip(y2p, 0, H - 1) + ly * H], -1)    # (P, R, 2)
+    if band_start is not None:
+        rows = band_rows
+        r0 = jnp.clip(jnp.clip(ylo, 0, H - 1) - band_start[:, None],
+                      0, rows - 1)
+        r1 = jnp.clip(jnp.clip(y2p, 0, H - 1) - band_start[:, None],
+                      0, rows - 1)
+        ys = jnp.stack([r0 + ly * rows, r1 + ly * rows], -1)  # (P, R, 2)
+    else:
+        ys = jnp.stack([jnp.clip(ylo, 0, H - 1) + ly * H,
+                        jnp.clip(y2p, 0, H - 1) + ly * H], -1)  # (P, R, 2)
 
     # x bins: exact integer edges clamped to the map (same arithmetic as
     # _rmq_bounds but we need the raw [ws, we) span, not an RMQ pair)
@@ -186,7 +202,8 @@ def _kernel_positions(boxes, spatial_scale, H, W, R, row_share=True):
 def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                  hbm_tables=False, int8_mode=False,
                  fuse_table_build=False, H=0, row_share=True,
-                 joint_emit=True, fused_dma=False):
+                 joint_emit=True, fused_dma=False, banded=False,
+                 band_rows=0):
     """Masked-16-window formulation with per-ROI tiers (module docstring).
 
     ``hbm_tables``: the stacked y-tables stay in HBM and each channel pass
@@ -215,7 +232,11 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
     """
 
     def kernel(*refs):
-        if int8_mode:
+        if banded:
+            (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, bstart_ref,
+             bflag_ref, feat_hbm_or_vmem, out_ref) = refs[:9]
+            scratch = refs[9:]
+        elif int8_mode:
             (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref, chs_ref,
              feat_hbm_or_vmem, out_ref) = refs[:8]
             scratch = refs[8:]
@@ -223,7 +244,46 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
             (ys_ref, x8_ref, mi_ref, tier_ref, scale_ref,
              feat_hbm_or_vmem, out_ref) = refs[:7]
             scratch = refs[7:]
-        if fused_dma:
+        run_block = None
+        if banded:
+            # banded batch-in-grid mode: grid = (B, C/CT, NBLK). Roi blocks
+            # are band-pure and band-sorted (see _pack_banded); bflag bit 0
+            # says "this block starts a new band -> DMA + rebuild the
+            # band's level stack", bit 1 says "dummy tail block -> skip".
+            # The raw map stays in HBM; each (b, c, band) DMAs only the
+            # band's ``band_rows`` rows, so the level-stack scratch holds
+            # LV * band_rows rows instead of Ky_full * H — which is what
+            # lets CT stay wide on large eval maps where the full stack
+            # collapses CT to 128 (PERF.md round-3 "remaining eval
+            # headroom").
+            tab_ref, feat_ref, copy_sem = scratch
+            b_id, c_id = pl.program_id(0), pl.program_id(1)
+            flags = bflag_ref[0, 0]
+            run_block = (flags & 2) == 0
+
+            @pl.when(run_block
+                     & ((pl.program_id(2) == 0) | ((flags & 1) == 1)))
+            def _():
+                start = bstart_ref[0, 0]
+                cp = pltpu.make_async_copy(
+                    feat_hbm_or_vmem.at[b_id, pl.ds(start, band_rows), :,
+                                        pl.ds(c_id * CT, CT)],
+                    feat_ref.at[pl.ds(0, band_rows)], copy_sem)
+                cp.start()
+                cp.wait()
+                LV = feat_ref.shape[0] // band_rows
+                HB = band_rows
+                for k in range(1, LV):
+                    d = 1 << (k - 1)
+                    lo = (k - 1) * HB
+                    if d >= HB:
+                        feat_ref[k * HB:(k + 1) * HB] = feat_ref[lo:lo + HB]
+                        continue
+                    feat_ref[k * HB:k * HB + HB - d] = jnp.maximum(
+                        feat_ref[lo:lo + HB - d], feat_ref[lo + d:lo + HB])
+                    feat_ref[k * HB + HB - d:(k + 1) * HB] = \
+                        feat_ref[lo + HB - d:lo + HB]
+        elif fused_dma:
             # batch-in-grid mode: grid = (B, C/CT, P/RB); the RAW padded
             # (B, H, W8, C) map stays in HBM and each (b, c) pass DMAs its
             # (H, W8, CT) slice into the level-0 region of a SINGLE-buffered
@@ -290,7 +350,7 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
 
         # Fill the mask table once (scratch persists across grid steps).
         _first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-        if fused_dma:
+        if fused_dma or banded:
             _first = _first & (pl.program_id(2) == 0)
 
         @pl.when(_first)
@@ -506,16 +566,26 @@ def _make_kernel(RB, R, CT, NW, neg_val: float, dtype, unroll_rois=False,
                                             masked(m1, b, 1)))
                 fin()
 
-        if unroll_rois:
-            # static unroll: independent bins across rois pipeline freely
-            for i in range(RB):
-                one_roi(i)
-        else:
-            def roi_body(i, _):
-                one_roi(i)
-                return 0
+        def all_rois():
+            if unroll_rois:
+                # static unroll: independent bins across rois pipeline freely
+                for i in range(RB):
+                    one_roi(i)
+            else:
+                def roi_body(i, _):
+                    one_roi(i)
+                    return 0
 
-            jax.lax.fori_loop(0, RB, roi_body, 0)
+                jax.lax.fori_loop(0, RB, roi_body, 0)
+
+        if run_block is None:
+            all_rois()
+        else:
+            # dummy tail blocks cost one grid step and an (unread) garbage
+            # out-block write, not RB*R*R bin passes
+            @pl.when(run_block)
+            def _():
+                all_rois()
 
     return kernel
 
@@ -573,7 +643,7 @@ def roi_pool_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray,
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
                                    "roi_block", "c_tile", "interpret",
                                    "unroll_rois", "row_share",
-                                   "joint_emit"))
+                                   "joint_emit", "allow_banded"))
 def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
                          spatial_scale: float, resolution: int = 7,
                          roi_block: int = 8, c_tile: int = 1024,
@@ -581,7 +651,8 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
                          roi_scale: jnp.ndarray | None = None,
                          unroll_rois: bool = False,
                          row_share: bool = True,
-                         joint_emit: bool = False) -> jnp.ndarray:
+                         joint_emit: bool = False,
+                         allow_banded: bool = True) -> jnp.ndarray:
     """Batch-in-grid exact RoIPool: (B, H, W, C) + (B, P, 4) -> (B, P, R, R, C).
 
     Same masked-16-window / y-RMQ / tiered formulation as
@@ -617,11 +688,21 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     CT = min(c_tile, C)
     while C % CT != 0:
         CT //= 2
+    start_ct = CT
     while CT > 128 and footprint(CT) > _VMEM_BUDGET:
         CT //= 2
     if footprint(CT) > _VMEM_BUDGET and not interpret:
         return _xla_fallback(features, boxes, spatial_scale, resolution,
                              roi_scale)
+    if allow_banded and CT * 4 <= start_ct:
+        # the full-height level stack collapsed the channel tile >= 4x
+        # (large eval/TTA buckets): switch to the banded two-launch path,
+        # which keeps short rois — the bulk of WSOD proposal mixes — at a
+        # wide tile (PERF.md round-4)
+        return roi_pool_pallas_banded(
+            features, boxes, spatial_scale, resolution=resolution,
+            roi_block=roi_block, c_tile=c_tile, interpret=interpret,
+            roi_scale=roi_scale, row_share=row_share)
 
     pos = jax.vmap(lambda bx: _kernel_positions(
         bx, spatial_scale, H, W, R, row_share=row_share))(boxes)
@@ -656,7 +737,7 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
                      row_share=row_share, joint_emit=joint_emit,
                      fused_dma=True),
         grid=grid,
-        in_specs=smem_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=smem_specs + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, RB, R * R, CT),
                                lambda b, c, r: (b, r, 0, c),
                                memory_space=pltpu.VMEM),
@@ -666,6 +747,237 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(ys, x8, mi, tier, bin_scale, raw)
+    return out.reshape(B, P, R, R, C)
+
+
+# ---------------------------------------------------------------------------
+# Banded two-launch path for large eval maps (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+def _scatter_slots(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Scatter rows of ``arr`` (P, ...) to ``slot`` (P,) in [0, P]; slot P is
+    a dump row that gets dropped. Unfilled slots stay zero."""
+    P = arr.shape[0]
+    out = jnp.zeros((P + 1,) + arr.shape[1:], arr.dtype)
+    return out.at[slot].set(arr)[:P]
+
+
+def _pack_banded(boxes, roi_scale, spatial_scale, H, W, R, RB,
+                 small_h, band_rows, lv_small, row_share):
+    """Single-image roi partition for the banded two-launch pool.
+
+    Short rois (clamped height <= small_h AND every bin's RMQ level <
+    lv_small) are packed into band-pure, RB-aligned slot runs sorted by
+    band (band k = rows [k*stride, k*stride + band_rows), stride =
+    band_rows - small_h, so any short roi is fully contained in its band);
+    everything else is packed to the front of a second "rest" launch that
+    runs the classic full-height table. Returns the kernel inputs for both
+    launches plus the merge indices.
+    """
+    P = boxes.shape[0]
+    stride = band_rows - small_h
+    NB = -(-H // stride)
+    NBLK = P // RB
+
+    scaled = jnp.round(boxes.astype(jnp.float32) *
+                       spatial_scale).astype(jnp.int32)
+    y1, y2 = scaled[:, 1], scaled[:, 3]
+    y1c = jnp.clip(y1, 0, H - 1)
+    y2c = jnp.clip(jnp.maximum(y2, y1), 0, H - 1)
+    vis_h = y2c - y1c + 1
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    _, _, ly, _ = _rmq_bounds(y1, roi_h, H, R, 32)           # uncapped levels
+    max_ly = jnp.max(ly, axis=1)
+
+    band = y1c // stride
+    bstart_roi = jnp.clip(band * stride, 0, max(H - band_rows, 0))
+    fits = y2c < bstart_roi + band_rows
+    is_s = (vis_h <= small_h) & fits & (max_ly <= lv_small - 1)
+
+    # --- band-pure RB-aligned slot assignment for short rois
+    cnt = jnp.zeros(NB, jnp.int32).at[band].add(is_s.astype(jnp.int32))
+    padded = -(-cnt // RB) * RB
+    ends = jnp.cumsum(padded)
+    off = ends - padded
+    csum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+
+    sort_key = jnp.where(is_s, band, NB) * P + jnp.arange(P)
+    order = jnp.argsort(sort_key)
+    sb = band[order]
+    si = is_s[order]
+    rank = jnp.arange(P, dtype=jnp.int32) - csum[sb]
+    slot_sorted = off[sb].astype(jnp.int32) + rank
+    ok_sorted = si & (slot_sorted < P)                        # cap overflow
+    slot_sorted = jnp.where(ok_sorted, slot_sorted, P)
+    slot_s = jnp.zeros(P, jnp.int32).at[order].set(slot_sorted)
+    is_s = jnp.zeros(P, bool).at[order].set(ok_sorted)
+
+    used_s = jnp.minimum(ends[-1], P)
+    blk0 = jnp.arange(NBLK, dtype=jnp.int32) * RB
+    blk_band = jnp.clip(jnp.searchsorted(ends, blk0, side="right"),
+                        0, NB - 1).astype(jnp.int32)
+    blk_bstart = jnp.clip(blk_band * stride, 0, max(H - band_rows, 0))
+    blk_used = blk0 < used_s
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), blk_band[:-1]])
+    blk_build = blk_used & (blk_band != prev)
+    flags_s = jnp.where(blk_used, blk_build.astype(jnp.int32), 2)
+
+    # --- rest launch: real rois packed to the front
+    is_r = ~is_s
+    rank_r = jnp.cumsum(is_r.astype(jnp.int32)) - 1
+    slot_r = jnp.where(is_r, rank_r, P)
+    n_r = jnp.sum(is_r.astype(jnp.int32))
+    flags_r = jnp.where(blk0 < n_r, 0, 2).astype(jnp.int32)
+    bstart_r = jnp.zeros(NBLK, jnp.int32)
+
+    # --- kernel coords, scattered into launch slots
+    pos_s = _kernel_positions(boxes, spatial_scale, H, W, R,
+                              row_share=row_share, band_start=bstart_roi,
+                              band_rows=band_rows, num_levels=lv_small)
+    pos_r = _kernel_positions(boxes, spatial_scale, H, W, R,
+                              row_share=row_share)
+
+    def build_inputs(pos, slot, scale_mask):
+        ys, x8, mi, tier, valid = pos
+        bscale = (roi_scale.astype(jnp.float32)[:, None, None]
+                  * valid).reshape(P, R * R)
+        bscale = bscale * scale_mask[:, None].astype(jnp.float32)
+        return (_scatter_slots(ys.reshape(P, -1), slot),
+                _scatter_slots(x8, slot),
+                _scatter_slots(mi.reshape(P, -1), slot),
+                _scatter_slots(tier, slot),
+                _scatter_slots(bscale, slot))
+
+    in_s = build_inputs(pos_s, slot_s, is_s)
+    in_r = build_inputs(pos_r, slot_r, is_r)
+    return (in_s, blk_bstart, flags_s, slot_s,
+            in_r, bstart_r, flags_r, slot_r, is_s)
+
+
+def _banded_launch(raw, ins, bstart, flags, CT, RB, R, NW, band_rows,
+                   lv, neg_val, row_share, interpret):
+    """One banded pallas launch over pre-packed slots. raw: (B, H, W8, C)."""
+    B, H, W8, C = raw.shape
+    P = ins[0].shape[1]
+    NBLK = P // RB
+    grid = (B, C // CT, NBLK)
+    smem_specs = [
+        pl.BlockSpec((None, RB, R * 2), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R * NW), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, 1), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, RB, R * R), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, 1), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, 1), lambda b, c, r: (b, r, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    scratch = [pltpu.VMEM((LX * LX + 1, LX, CT), raw.dtype),
+               pltpu.VMEM((lv * band_rows, W8, CT), raw.dtype),
+               pltpu.SemaphoreType.DMA]
+    return pl.pallas_call(
+        _make_kernel(RB, R, CT, NW, neg_val, raw.dtype,
+                     row_share=row_share, joint_emit=False,
+                     banded=True, band_rows=band_rows),
+        grid=grid,
+        in_specs=smem_specs + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((None, RB, R * R, CT),
+                               lambda b, c, r: (b, r, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, R * R, C), raw.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins[:5], bstart[:, :, None], flags[:, :, None], raw)
+
+
+@partial(jax.jit, static_argnames=("spatial_scale", "resolution",
+                                   "roi_block", "c_tile", "interpret",
+                                   "row_share", "small_h", "band_rows"))
+def roi_pool_pallas_banded(features: jnp.ndarray, boxes: jnp.ndarray,
+                           spatial_scale: float, resolution: int = 7,
+                           roi_block: int = 16, c_tile: int = 1024,
+                           interpret: bool = False,
+                           roi_scale: jnp.ndarray | None = None,
+                           row_share: bool = True,
+                           small_h: int = 24,
+                           band_rows: int = 48) -> jnp.ndarray:
+    """Two-launch exact RoIPool for maps whose full y-RMQ stack collapses
+    the channel tile (large eval/TTA buckets, PERF.md round-3):
+
+      * SHORT rois (clamped height <= ``small_h``) run against band-local
+        level stacks (``band_rows`` rows x 3 levels) at a WIDE channel tile
+        — at the 1536 bucket the full stack forces CT=128 (8x the bin
+        passes of the train bucket) while a 48-row band keeps CT=1024;
+      * the rest run the classic full-height stack at whatever CT fits,
+        with dummy-tail blocks skipped so passes scale with the ACTUAL
+        tall-roi count.
+
+    Both launches cover P slots; rois are packed (band-pure, RB-aligned)
+    and the results merged by a per-roi gather. Exactness is unchanged —
+    the same RMQ-pair/masked-window samples, just against band-local
+    tables. Typical WSOD proposal mixes are dominated by short rois, so
+    most passes run at the wide tile.
+    """
+    B, H, W, C = features.shape
+    P = boxes.shape[1]
+    R = resolution
+    RB = min(roi_block, P)
+    while P % RB != 0:
+        RB //= 2
+
+    LV_S = 3                       # bands hold levels {1, 2, 4}
+    Ky = _num_levels(H, R)
+    NW = max(_load_extent(W, R), 2)
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    itemsize = jnp.dtype(features.dtype).itemsize
+    n_masks = LX * LX + 1
+    spill = _SPILL_MARGIN if NW > 2 else 0
+
+    def footprint(rows, ct):
+        return (rows * W8 * ct + n_masks * LX * ct
+                + 2 * RB * R * R * ct) * itemsize + spill
+
+    def pick_ct(rows, start):
+        ct = min(start, C)
+        while C % ct != 0:
+            ct //= 2
+        while ct > 128 and footprint(rows, ct) > _VMEM_BUDGET:
+            ct //= 2
+        return ct
+
+    CT_S = pick_ct(LV_S * band_rows, c_tile)
+    CT_R = pick_ct(Ky * H, c_tile)
+
+    if roi_scale is None:
+        roi_scale = jnp.ones((B, P), jnp.float32)
+
+    packed = jax.vmap(lambda bx, rs: _pack_banded(
+        bx, rs, spatial_scale, H, W, R, RB, small_h, band_rows, LV_S,
+        row_share))(boxes, roi_scale)
+    (in_s, bstart_s, flags_s, slot_s,
+     in_r, bstart_r, flags_r, slot_r, is_s) = packed
+
+    raw = jnp.pad(features, ((0, 0), (0, 0), (0, W8 - W), (0, 0)))
+    neg_val = float(jnp.finfo(features.dtype).min) / 2
+
+    out_s = _banded_launch(raw, in_s, bstart_s, flags_s, CT_S, RB, R, NW,
+                           band_rows, LV_S, neg_val, row_share, interpret)
+    out_r = _banded_launch(raw, in_r, bstart_r, flags_r, CT_R, RB, R, NW,
+                           H, Ky, neg_val, row_share, interpret)
+
+    gs = jnp.take_along_axis(
+        out_s, jnp.clip(slot_s, 0, P - 1)[:, :, None, None], axis=1)
+    gr = jnp.take_along_axis(
+        out_r, jnp.clip(slot_r, 0, P - 1)[:, :, None, None], axis=1)
+    out = jnp.where(is_s[:, :, None, None], gs, gr)
     return out.reshape(B, P, R, R, C)
 
 
@@ -781,7 +1093,7 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
                                  memory_space=pltpu.VMEM)
         scratch += [pltpu.VMEM((Ky * H, W8, CT), table_dtype)]
     elif hbm_tables:
-        feat_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        feat_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch += [pltpu.VMEM((Ky * H, W8, CT), table_dtype),
                     pltpu.SemaphoreType.DMA]
     else:

@@ -215,3 +215,80 @@ def test_grid_vmem_overflow_falls_back_to_xla():
                                1.0, resolution=7))
     want = want * scale[0][:, None, None, None]
     np.testing.assert_allclose(got[0], want, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_banded_matches_xla():
+    """Banded two-launch path (large eval buckets, VERDICT r4 item 6):
+    short rois against band-local 3-level stacks at a wide channel tile +
+    tall/edge rois against the classic full stack, merged — must match the
+    XLA formulation exactly, including the fused per-roi scale epilogue,
+    across a mix of tiny, tall, edge-crossing and off-map boxes."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas_banded
+
+    rng = np.random.RandomState(3)
+    B, H, W, C, P = 2, 48, 40, 16, 16
+    feat = rng.randn(B, H, W, C).astype(np.float32)
+    # mix: short boxes all over (band path), tall boxes (rest path),
+    # edge-crossers (clamped), one fully off-map
+    boxes = np.zeros((B, P, 4), np.float32)
+    for b in range(B):
+        for p in range(P):
+            if p < 9:          # short: fits 12-row bands at scale .25
+                y1 = rng.uniform(-8, H * 4 - 8)
+                hgt = rng.uniform(4, 20)          # <= 5 cells
+                x1 = rng.uniform(-8, W * 4 - 8)
+                wid = rng.uniform(4, 140)
+            elif p < 14:       # tall
+                y1 = rng.uniform(-30, H * 2)
+                hgt = rng.uniform(60, H * 4)
+                x1 = rng.uniform(0, W * 2)
+                wid = rng.uniform(10, W * 4)
+            elif p < 15:       # fully off-map
+                y1, hgt, x1, wid = H * 4 + 50, 10, W * 4 + 50, 10
+            else:              # whole-image
+                y1, hgt, x1, wid = 0, H * 4 - 1, 0, W * 4 - 1
+            boxes[b, p] = (x1, y1, x1 + wid, y1 + hgt)
+    scale = rng.uniform(1, 2, (B, P)).astype(np.float32)
+
+    got = np.asarray(roi_pool_pallas_banded(
+        jnp.asarray(feat), jnp.asarray(boxes), 0.25, resolution=7,
+        roi_block=4, c_tile=8, interpret=True,
+        roi_scale=jnp.asarray(scale), small_h=6, band_rows=12))
+    for b in range(B):
+        want = np.asarray(roi_pool(jnp.asarray(feat[b]),
+                                   jnp.asarray(boxes[b]), 0.25,
+                                   resolution=7, samples=2))
+        want = want * scale[b][:, None, None, None]
+        np.testing.assert_allclose(got[b], want, rtol=1e-5,
+                                   err_msg=f"image {b}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["all_short", "all_tall"])
+def test_pallas_banded_degenerate_mixes(case):
+    """One launch fully dummy (every block skipped) must still merge
+    correctly."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import roi_pool_pallas_banded
+
+    rng = np.random.RandomState(5)
+    B, H, W, C, P = 1, 48, 40, 8, 8
+    feat = rng.randn(B, H, W, C).astype(np.float32)
+    if case == "all_short":
+        y1 = rng.uniform(0, H * 4 - 20, (B, P))
+        hgt = rng.uniform(4, 18, (B, P))
+    else:
+        y1 = rng.uniform(0, H, (B, P))
+        hgt = rng.uniform(100, H * 4, (B, P))
+    x1 = rng.uniform(0, W * 2, (B, P))
+    wid = rng.uniform(8, W * 3, (B, P))
+    boxes = np.stack([x1, y1, x1 + wid, y1 + hgt], -1).astype(np.float32)
+
+    got = np.asarray(roi_pool_pallas_banded(
+        jnp.asarray(feat), jnp.asarray(boxes), 0.25, resolution=7,
+        roi_block=4, c_tile=8, interpret=True, small_h=6, band_rows=12))
+    for b in range(B):
+        want = np.asarray(roi_pool(jnp.asarray(feat[b]),
+                                   jnp.asarray(boxes[b]), 0.25,
+                                   resolution=7, samples=2))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5)
