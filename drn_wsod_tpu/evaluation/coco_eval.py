@@ -19,6 +19,16 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+
+def _nanmean(a) -> float:
+    """np.nanmean that stays silent on all-NaN slices (small fixtures with
+    no predictions in an area range otherwise emit 'Mean of empty slice'
+    RuntimeWarnings on every run)."""
+    a = np.asarray(a, np.float64).ravel()
+    m = ~np.isnan(a)
+    return float(a[m].mean()) if m.any() else float("nan")
+
+
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 RECALL_THRS = np.linspace(0.0, 1.0, 101)
 AREA_RANGES = {
@@ -322,12 +332,12 @@ class COCODetectionEvaluator:
         ap_all = per_class_ap["all"]
         with np.errstate(invalid="ignore"):
             results["bbox"] = {
-                "AP": float(np.nanmean(ap_all) * 100),
-                "AP50": float(np.nanmean(ap_all[:, 0]) * 100),
-                "AP75": float(np.nanmean(ap_all[:, 5]) * 100),
-                "APs": float(np.nanmean(per_class_ap["small"]) * 100),
-                "APm": float(np.nanmean(per_class_ap["medium"]) * 100),
-                "APl": float(np.nanmean(per_class_ap["large"]) * 100),
+                "AP": float(_nanmean(ap_all) * 100),
+                "AP50": float(_nanmean(ap_all[:, 0]) * 100),
+                "AP75": float(_nanmean(ap_all[:, 5]) * 100),
+                "APs": float(_nanmean(per_class_ap["small"]) * 100),
+                "APm": float(_nanmean(per_class_ap["medium"]) * 100),
+                "APl": float(_nanmean(per_class_ap["large"]) * 100),
             }
         for task in self._tasks:
             if task != "bbox":
@@ -422,10 +432,10 @@ class COCODetectionEvaluator:
         ap_all = per_area["all"]
         with np.errstate(invalid="ignore"):
             return {
-                "AP": float(np.nanmean(ap_all) * 100),
-                "AP50": float(np.nanmean(ap_all[:, 0]) * 100),
-                "AP75": float(np.nanmean(ap_all[:, 5]) * 100),
-                "APs": float(np.nanmean(per_area["small"]) * 100),
-                "APm": float(np.nanmean(per_area["medium"]) * 100),
-                "APl": float(np.nanmean(per_area["large"]) * 100),
+                "AP": float(_nanmean(ap_all) * 100),
+                "AP50": float(_nanmean(ap_all[:, 0]) * 100),
+                "AP75": float(_nanmean(ap_all[:, 5]) * 100),
+                "APs": float(_nanmean(per_area["small"]) * 100),
+                "APm": float(_nanmean(per_area["medium"]) * 100),
+                "APl": float(_nanmean(per_area["large"]) * 100),
             }

@@ -595,10 +595,44 @@ _VMEM_BUDGET = 120 * 1024 * 1024      # leave headroom under v5e's 128M
 # Register-allocator spill slots are not in the analytic footprint. Measured
 # on hardware: NW=2 programs (every train bucket) spill <= 17M at CT=1024,
 # but the NW=3 multi-window tier-2 code path spilled 32.1M at CT=256 on a
-# 191x191 DC5 map (TTA's 1536 eval bucket), OOMing a footprint that the
-# naive model said fit. Budget a worst-case margin whenever the
-# multi-window path is compiled in (NW > 2).
+# 191x191 DC5 map (TTA's 1536 eval bucket), and an NW=2 / CT=512 program on
+# a 136x136 map (the 1088 eval bucket) spilled 31.5M — both OOMing a
+# footprint the naive model said fit. Empirically the spill stays <= 17M
+# only on the CT=1024 programs (the train buckets); every measured CT<=512
+# compile spilled ~32M regardless of NW. Budget per-CT accordingly.
 _SPILL_MARGIN = 34 * 1024 * 1024
+_SPILL_MARGIN_CT1024 = 17 * 1024 * 1024
+
+
+def _spill_margin(ct: int) -> int:
+    return _SPILL_MARGIN_CT1024 if ct >= 1024 else _SPILL_MARGIN
+
+
+def grid_ct_selection(H, W, C, itemsize, c_tile=1024, roi_block=8,
+                      resolution=7):
+    """Channel-tile selection for the batch-in-grid kernel, exposed so tests
+    can assert every realizable eval/TTA map stays within the measured VMEM
+    envelope (static footprint + per-CT spill margin) without compiling.
+    Returns (CT, start_ct, footprint_fn)."""
+    R = resolution
+    Ky = _num_levels(H, R)
+    NW = max(_load_extent(W, R), 2)
+    W8 = ((W - 1) // 8) * 8 + NW * LX
+    n_masks = LX * LX + 1
+
+    def footprint(ct):
+        table = Ky * H * W8 * ct * itemsize           # single-buffered
+        masks = n_masks * LX * ct * itemsize
+        out_blk = 2 * roi_block * R * R * ct * itemsize  # double-buffered
+        return table + masks + out_blk + _spill_margin(ct)
+
+    CT = min(c_tile, C)
+    while C % CT != 0:
+        CT //= 2
+    start_ct = CT
+    while CT > 128 and footprint(CT) > _VMEM_BUDGET:
+        CT //= 2
+    return CT, start_ct, footprint
 
 
 def _xla_fallback(features, boxes, spatial_scale, resolution, roi_scale):
@@ -675,22 +709,10 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     NW = max(_load_extent(W, R), 2)
     W8 = ((W - 1) // 8) * 8 + NW * LX
     n_masks = LX * LX + 1
-    itemsize = jnp.dtype(features.dtype).itemsize
 
-    spill = _SPILL_MARGIN if NW > 2 else 0
-
-    def footprint(ct):
-        table = Ky * H * W8 * ct * itemsize           # single-buffered
-        masks = n_masks * LX * ct * itemsize
-        out_blk = 2 * RB * R * R * ct * itemsize      # double-buffered
-        return table + masks + out_blk + spill
-
-    CT = min(c_tile, C)
-    while C % CT != 0:
-        CT //= 2
-    start_ct = CT
-    while CT > 128 and footprint(CT) > _VMEM_BUDGET:
-        CT //= 2
+    CT, start_ct, footprint = grid_ct_selection(
+        H, W, C, jnp.dtype(features.dtype).itemsize, c_tile=c_tile,
+        roi_block=RB, resolution=R)
     if footprint(CT) > _VMEM_BUDGET and not interpret:
         return _xla_fallback(features, boxes, spatial_scale, resolution,
                              roi_scale)
@@ -873,9 +895,13 @@ def _banded_launch(raw, ins, bstart, flags, CT, RB, R, NW, band_rows,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((None, RB, R * R), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((None, 1, 1), lambda b, c, r: (b, r, 0),
+        # Per-block scalars (band start row, control flags). Mosaic requires
+        # the block's second-to-last dim divisible by 8 (or full), so each
+        # scalar is replicated to an 8-row stripe and the kernel reads the
+        # stripe's first row ([0, 0]).
+        pl.BlockSpec((None, 8, 1), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((None, 1, 1), lambda b, c, r: (b, r, 0),
+        pl.BlockSpec((None, 8, 1), lambda b, c, r: (b, r, 0),
                      memory_space=pltpu.SMEM),
     ]
     scratch = [pltpu.VMEM((LX * LX + 1, LX, CT), raw.dtype),
@@ -895,7 +921,8 @@ def _banded_launch(raw, ins, bstart, flags, CT, RB, R, NW, band_rows,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
-    )(*ins[:5], bstart[:, :, None], flags[:, :, None], raw)
+    )(*ins[:5], jnp.repeat(bstart, 8, axis=1)[:, :, None],
+      jnp.repeat(flags, 8, axis=1)[:, :, None], raw)
 
 
 @partial(jax.jit, static_argnames=("spatial_scale", "resolution",
@@ -939,11 +966,9 @@ def roi_pool_pallas_banded(features: jnp.ndarray, boxes: jnp.ndarray,
     W8 = ((W - 1) // 8) * 8 + NW * LX
     itemsize = jnp.dtype(features.dtype).itemsize
     n_masks = LX * LX + 1
-    spill = _SPILL_MARGIN if NW > 2 else 0
-
     def footprint(rows, ct):
-        return (rows * W8 * ct + n_masks * LX * ct
-                + 2 * RB * R * R * ct) * itemsize + spill
+        return ((rows * W8 * ct + n_masks * LX * ct
+                 + 2 * RB * R * R * ct) * itemsize + _spill_margin(ct))
 
     def pick_ct(rows, start):
         ct = min(start, C)
@@ -1019,13 +1044,12 @@ def roi_pool_pallas(features: jnp.ndarray, boxes: jnp.ndarray,
     table_dtype = jnp.int8 if quantize_int8 else features.dtype
     itemsize = jnp.dtype(table_dtype).itemsize
 
-    spill = _SPILL_MARGIN if NW > 2 else 0
-
     def footprint(ct, mode):
         table = Ky * H * W8 * ct * itemsize
         raw = H * W8 * ct * itemsize
         masks = n_masks * LX * ct * itemsize
         out_blk = 2 * RB * R * R * ct * itemsize
+        spill = _spill_margin(ct)
         if mode == "fused":               # 2x raw block + 1x table scratch
             return table + 2 * raw + masks + out_blk + spill
         return (1 if mode == "hbm" else 2) * table + masks + out_blk + spill

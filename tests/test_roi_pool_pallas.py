@@ -292,3 +292,34 @@ def test_pallas_banded_degenerate_mixes(case):
                                    jnp.asarray(boxes[b]), 0.25,
                                    resolution=7, samples=2))
         np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+
+def test_grid_ct_selection_vmem_envelope():
+    """Every map the eval/TTA pipeline can realize must select a channel
+    tile whose static footprint plus the MEASURED register-spill envelope
+    fits v5e VMEM (128M). Round-4 hardware regression this guards: the
+    1088 bucket (136x136 DC5 map) selected CT=512 from a footprint model
+    with no spill margin at NW=2 and OOM'd the TPU compiler at 142.6M
+    (static 111.0M + 31.5M spill slots). The margin is per-CT: measured
+    spills are <=17M on CT=1024 programs, ~32M on every CT<=512 program."""
+    from drn_wsod_tpu.ops.roi_pool_pallas import (_VMEM_BUDGET,
+                                                  grid_ct_selection)
+
+    HARD = 128 * 1024 * 1024
+    # dense sweep over DC5 map sizes: buckets 320..2048 in steps of 32px
+    for S in range(320, 2080, 32):
+        m = S // 8
+        CT, start_ct, fp = grid_ct_selection(m, m, 2048, 2)
+        if fp(CT) > _VMEM_BUDGET:
+            continue                       # XLA fallback path — no compile
+        # the margin inside fp IS the measured spill envelope; assert the
+        # whole thing clears the hard cap with the safety slack intact
+        assert fp(CT) <= HARD, (S, CT, fp(CT))
+
+    # flagship train buckets must keep the wide tile (the round-2 2x win)
+    for m in (63, 64, 87, 88):
+        CT, _, _ = grid_ct_selection(m, m, 2048, 2)
+        assert CT == 1024, (m, CT)
+    # the 1088-bucket map must now collapse >=4x -> banded auto-switch
+    CT, start_ct, _ = grid_ct_selection(136, 136, 2048, 2)
+    assert CT * 4 <= start_ct, (CT, start_ct)

@@ -189,10 +189,10 @@ def do_test(cfg, model, variables, eval_train: bool = False):
 
         print_csv_format(results[name])
 
-    if cfg.TEST.EXPECTED_RESULTS and datasets:
+    if cfg.TEST.EXPECTED_RESULTS and pairs:
         from drn_wsod_tpu.evaluation.testing import verify_results
 
-        assert verify_results(cfg, results[datasets[0]]), \
+        assert verify_results(cfg, results[pairs[0][0]]), \
             "Results verification failed!"
     return results
 
