@@ -57,14 +57,22 @@ def boxes_voc_eval(rs, B, P, img_hw):
 
 
 def main():
+    import argparse
+
     from drn_wsod_tpu.ops.roi_pool_pallas import (roi_pool_pallas_banded,
                                                   roi_pool_pallas_grid)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buckets", default="704,1088,1280,1536",
+                    help="comma list; run one at a time to land results "
+                         "through short tunnel-health windows")
+    args = ap.parse_args()
 
     B, P, C, R = 1, 4096, 2048, 7
     rs = np.random.RandomState(0)
     rng = jax.random.PRNGKey(0)
 
-    for S in (704, 1088, 1280, 1536):
+    for S in (int(s) for s in args.buckets.split(",")):
         Hf = S // 8
         feats = jax.random.normal(rng, (B, Hf, Hf, C), jnp.bfloat16)
         scale_arr = jnp.ones((B, P), jnp.float32)
