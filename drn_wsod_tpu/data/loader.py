@@ -177,7 +177,7 @@ class TrainLoader:
         return _prefetch_iter(self._batch_iter(), self._prefetch)
 
 
-class TestLoader:
+class EvalLoader:
     """Sequential single-pass loader. Batches are filled in dataset order and
     padded to a common bucket; the final partial batch is padded with copies
     of the last sample (masked out downstream via image_id bookkeeping)."""
@@ -313,7 +313,7 @@ def build_detection_train_loader(cfg, mapper) -> TrainLoader:
 def build_detection_test_loader(cfg, dataset_name: str, mapper,
                                 batch_size: int = 1,
                                 proposal_file: Optional[str] = None
-                                ) -> TestLoader:
+                                ) -> EvalLoader:
     """``proposal_file`` overrides the TEST-list lookup — needed when
     evaluating TRAIN datasets for CorLoc (reference test_with_TTA,
     projects/WSL/tools/train_net.py:169-201)."""
@@ -325,5 +325,5 @@ def build_detection_test_loader(cfg, dataset_name: str, mapper,
     pf = [proposal_file] if (proposal_file and cfg.MODEL.LOAD_PROPOSALS) else ()
     records = get_detection_dataset_dicts([dataset_name], pf,
                                           filter_empty=False)
-    return TestLoader(records, mapper, batch_size,
+    return EvalLoader(records, mapper, batch_size,
                       prefetch=cfg.DATALOADER.PREFETCH)

@@ -330,15 +330,14 @@ class COCODetectionEvaluator:
             per_class_ap[area_name] = np.stack(ap_list)  # (C, T)
 
         ap_all = per_class_ap["all"]
-        with np.errstate(invalid="ignore"):
-            results["bbox"] = {
-                "AP": float(_nanmean(ap_all) * 100),
-                "AP50": float(_nanmean(ap_all[:, 0]) * 100),
-                "AP75": float(_nanmean(ap_all[:, 5]) * 100),
-                "APs": float(_nanmean(per_class_ap["small"]) * 100),
-                "APm": float(_nanmean(per_class_ap["medium"]) * 100),
-                "APl": float(_nanmean(per_class_ap["large"]) * 100),
-            }
+        results["bbox"] = {
+            "AP": float(_nanmean(ap_all) * 100),
+            "AP50": float(_nanmean(ap_all[:, 0]) * 100),
+            "AP75": float(_nanmean(ap_all[:, 5]) * 100),
+            "APs": float(_nanmean(per_class_ap["small"]) * 100),
+            "APm": float(_nanmean(per_class_ap["medium"]) * 100),
+            "APl": float(_nanmean(per_class_ap["large"]) * 100),
+        }
         for task in self._tasks:
             if task != "bbox":
                 results[task] = self._evaluate_dense_task(task)
@@ -430,12 +429,11 @@ class COCODetectionEvaluator:
             per_area[area_name] = np.stack(ap_list)
 
         ap_all = per_area["all"]
-        with np.errstate(invalid="ignore"):
-            return {
-                "AP": float(_nanmean(ap_all) * 100),
-                "AP50": float(_nanmean(ap_all[:, 0]) * 100),
-                "AP75": float(_nanmean(ap_all[:, 5]) * 100),
-                "APs": float(_nanmean(per_area["small"]) * 100),
-                "APm": float(_nanmean(per_area["medium"]) * 100),
-                "APl": float(_nanmean(per_area["large"]) * 100),
-            }
+        return {
+            "AP": float(_nanmean(ap_all) * 100),
+            "AP50": float(_nanmean(ap_all[:, 0]) * 100),
+            "AP75": float(_nanmean(ap_all[:, 5]) * 100),
+            "APs": float(_nanmean(per_area["small"]) * 100),
+            "APm": float(_nanmean(per_area["medium"]) * 100),
+            "APl": float(_nanmean(per_area["large"]) * 100),
+        }

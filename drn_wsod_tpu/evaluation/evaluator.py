@@ -85,7 +85,7 @@ def make_detect_fn(model, score_thresh: float, nms_thresh: float,
 
 def inference_on_dataset(detect_fn: Callable, variables, loader,
                          evaluator, records) -> Dict:
-    """Run inference over a TestLoader and evaluate.
+    """Run inference over a EvalLoader and evaluate.
 
     ``records`` is the loader's dataset list (for image_id lookup).
     """

@@ -48,6 +48,7 @@ flows to the feature map and the backward kernel is unnecessary
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -608,12 +609,25 @@ def _spill_margin(ct: int) -> int:
     return _SPILL_MARGIN_CT1024 if ct >= 1024 else _SPILL_MARGIN
 
 
+class GridCTSelection(NamedTuple):
+    """Channel-tile choice + the derived launch geometry it was computed
+    from. The kernel launch uses THESE fields (not locally recomputed
+    copies) so the footprint model the tests exercise and the actual
+    scratch/BlockSpec layout share one source of truth."""
+    ct: int
+    start_ct: int            # tile before any VMEM-driven shrink
+    footprint: object        # ct -> bytes (incl. measured spill margin)
+    ky: int                  # y-RMQ levels in the stacked table
+    nw: int                  # max x-load windows per bin row
+    w8: int                  # padded table width (8-aligned + NW windows)
+    n_masks: int             # x-range mask table rows
+
+
 def grid_ct_selection(H, W, C, itemsize, c_tile=1024, roi_block=8,
-                      resolution=7):
+                      resolution=7) -> GridCTSelection:
     """Channel-tile selection for the batch-in-grid kernel, exposed so tests
     can assert every realizable eval/TTA map stays within the measured VMEM
-    envelope (static footprint + per-CT spill margin) without compiling.
-    Returns (CT, start_ct, footprint_fn)."""
+    envelope (static footprint + per-CT spill margin) without compiling."""
     R = resolution
     Ky = _num_levels(H, R)
     NW = max(_load_extent(W, R), 2)
@@ -632,7 +646,7 @@ def grid_ct_selection(H, W, C, itemsize, c_tile=1024, roi_block=8,
     start_ct = CT
     while CT > 128 and footprint(CT) > _VMEM_BUDGET:
         CT //= 2
-    return CT, start_ct, footprint
+    return GridCTSelection(CT, start_ct, footprint, Ky, NW, W8, n_masks)
 
 
 def _xla_fallback(features, boxes, spatial_scale, resolution, roi_scale):
@@ -705,15 +719,14 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
     while P % RB != 0:
         RB //= 2
 
-    Ky = _num_levels(H, R)
-    NW = max(_load_extent(W, R), 2)
-    W8 = ((W - 1) // 8) * 8 + NW * LX
-    n_masks = LX * LX + 1
-
-    CT, start_ct, footprint = grid_ct_selection(
+    sel = grid_ct_selection(
         H, W, C, jnp.dtype(features.dtype).itemsize, c_tile=c_tile,
         roi_block=RB, resolution=R)
-    if footprint(CT) > _VMEM_BUDGET and not interpret:
+    # the launch geometry below comes from the selection so the footprint
+    # model tests assert against is what actually launches (ADVICE r4)
+    CT, start_ct = sel.ct, sel.start_ct
+    Ky, NW, W8, n_masks = sel.ky, sel.nw, sel.w8, sel.n_masks
+    if sel.footprint(CT) > _VMEM_BUDGET and not interpret:
         return _xla_fallback(features, boxes, spatial_scale, resolution,
                              roi_scale)
     if allow_banded and CT * 4 <= start_ct:

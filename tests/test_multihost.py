@@ -15,7 +15,7 @@ import numpy as np
 from PIL import Image
 
 from drn_wsod_tpu.config import get_cfg
-from drn_wsod_tpu.data.loader import TestLoader, TrainLoader
+from drn_wsod_tpu.data.loader import EvalLoader, TrainLoader
 from drn_wsod_tpu.data.mapper import DatasetMapper
 from drn_wsod_tpu.evaluation.voc_eval import PascalVOCDetectionEvaluator
 
@@ -119,7 +119,7 @@ def test_testloader_shards_cover_dataset(tmp_path):
     recs = _records(tmp_path)
     seen = []
     for rank in (0, 1, 2):
-        ld = TestLoader(recs, mapper, batch_size=1, prefetch=0,
+        ld = EvalLoader(recs, mapper, batch_size=1, prefetch=0,
                         process_index=rank, process_count=3)
         seen.extend(r["image_id"] for r in ld._records)
     assert sorted(seen) == sorted(r["image_id"] for r in recs)

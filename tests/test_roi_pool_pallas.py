@@ -306,20 +306,26 @@ def test_grid_ct_selection_vmem_envelope():
                                                   grid_ct_selection)
 
     HARD = 128 * 1024 * 1024
-    # dense sweep over DC5 map sizes: buckets 320..2048 in steps of 32px
-    for S in range(320, 2080, 32):
+    # dense sweep over DC5 map sizes across the SUPPORTED eval/TTA range
+    # (train buckets through the largest TTA bucket, 1536): every one must
+    # select a Pallas-servable tile — the XLA gather fallback is reserved
+    # for unbucketed near-MAX_SIZE-4000 maps and would be a silent 5x eval
+    # regression on a protocol bucket — and clear the hard cap including
+    # the measured spill margin.
+    for S in range(320, 1568, 32):
         m = S // 8
-        CT, start_ct, fp = grid_ct_selection(m, m, 2048, 2)
-        if fp(CT) > _VMEM_BUDGET:
-            continue                       # XLA fallback path — no compile
-        # the margin inside fp IS the measured spill envelope; assert the
-        # whole thing clears the hard cap with the safety slack intact
-        assert fp(CT) <= HARD, (S, CT, fp(CT))
+        sel = grid_ct_selection(m, m, 2048, 2)
+        fp = sel.footprint(sel.ct)
+        assert fp <= _VMEM_BUDGET, (S, sel.ct, fp)   # no XLA fallback
+        assert fp <= HARD, (S, sel.ct, fp)
 
-    # flagship train buckets must keep the wide tile (the round-2 2x win)
-    for m in (63, 64, 87, 88):
-        CT, _, _ = grid_ct_selection(m, m, 2048, 2)
-        assert CT == 1024, (m, CT)
-    # the 1088-bucket map must now collapse >=4x -> banded auto-switch
-    CT, start_ct, _ = grid_ct_selection(136, 136, 2048, 2)
-    assert CT * 4 <= start_ct, (CT, start_ct)
+    # expected per-bucket selections (PERF.md round-4 hardware table):
+    # flagship train buckets keep the wide tile (the round-2 2x win);
+    # 896 halves; 1088+ collapse >=4x which flips the banded auto-switch.
+    expected_ct = {512: 1024, 704: 1024, 768: 1024, 896: 512,
+                   1088: 256, 1216: 256, 1280: 256, 1536: 128}
+    for S, want in expected_ct.items():
+        sel = grid_ct_selection(S // 8, S // 8, 2048, 2)
+        assert sel.ct == want, (S, sel.ct, want)
+        banded = sel.ct * 4 <= sel.start_ct
+        assert banded == (S >= 1088), (S, sel.ct, sel.start_ct)

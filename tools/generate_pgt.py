@@ -75,9 +75,9 @@ def main():
         pf = ([cfg.DATASETS.PROPOSAL_FILES_TRAIN[di]]
               if cfg.MODEL.LOAD_PROPOSALS else ())
         records = get_detection_dataset_dicts([name], pf, filter_empty=True)
-        from drn_wsod_tpu.data.loader import TestLoader
+        from drn_wsod_tpu.data.loader import EvalLoader
 
-        loader = TestLoader(records, mapper, batch_size=1,
+        loader = EvalLoader(records, mapper, batch_size=1,
                             prefetch=cfg.DATALOADER.PREFETCH)
         for batch, n_real in loader:
             dets = jax.device_get(detect(state.params, batch))
