@@ -179,7 +179,8 @@ class Trainer:
                  log_period: int = 20,
                  multi_step_fn: Optional[Callable] = None,
                  steps_per_dispatch: int = 1,
-                 stack_fn: Optional[Callable] = None):
+                 stack_fn: Optional[Callable] = None,
+                 prefetch_chunks: int = 2):
         """``multi_step_fn(state, stacked_batch, rng)`` (see
         ``make_multi_train_step``) + ``steps_per_dispatch`` K > 1 switch the
         loop to chunked execution: K batches are pulled, stacked by
@@ -187,7 +188,18 @@ class Trainer:
         ONE scan. Hooks still fire per iteration; a hook firing at a
         non-chunk-final iteration observes the end-of-chunk state, so pick K
         dividing every hook period for exact parity with eager stepping (the
-        CLI does, tools/train_net.py)."""
+        CLI does, tools/train_net.py).
+
+        ``prefetch_chunks`` > 0 moves chunk building OFF the dispatch
+        thread: a background thread pulls + stacks the next chunks and
+        enqueues their host->device upload (``jax.device_put``) while the
+        device is still computing the current chunk, double-buffered up to
+        ``prefetch_chunks`` in flight. Through a serial tunnel this removes
+        the host-stacking term from the critical path and keeps the upload
+        stream fed back-to-back with compute (PERF.md round-5; round-4
+        decomposition: ~39 ms/iter host stacking + ~105 ms/iter upload were
+        serialized with 74.6 ms compute). 0 restores fully-inline behavior
+        (useful for deterministic single-thread debugging)."""
         self._step_fn = step_fn
         self.state = state
         self._data_iter = data_iter
@@ -197,6 +209,7 @@ class Trainer:
         self._multi_step_fn = multi_step_fn
         self._steps_per_dispatch = max(int(steps_per_dispatch), 1)
         self._stack_fn = stack_fn
+        self._prefetch_chunks = max(int(prefetch_chunks), 0)
         self._hooks: List[HookBase] = []
         self.iter = 0
         self.start_iter = 0
@@ -251,33 +264,97 @@ class Trainer:
                 self.iter == self.max_iter - 1:
             self._flush_metrics()
 
-    def _run_chunked(self, start_iter: int, max_iter: int):
-        """K steps per dispatch via ``multi_step_fn`` (lax.scan). Hook
-        before_steps for the chunk fire before the dispatch (with the
-        correct ``self.iter``), after_steps per iteration after it."""
+    def _chunk_iter(self, start_iter: int, max_iter: int):
+        """Yield (stacked_chunk, last_host_batch, k, per_step_data_time).
+
+        With prefetching, chunks are built AND device_put-enqueued by a
+        background thread up to ``prefetch_chunks`` ahead, so stacking and
+        upload overlap the device's compute of the previous chunk;
+        data_time then measures the wait for a ready chunk (~0 when the
+        pipeline keeps up). Worker exceptions re-raise on the loop thread."""
         import numpy as np
 
         K = self._steps_per_dispatch
         stack = self._stack_fn or (lambda bs: jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *bs))
+
+        def build(k):
+            try:
+                batches = [next(self._data_iter) for _ in range(k)]
+            except StopIteration:
+                # explicit error (PEP 479 would otherwise surface this as an
+                # opaque "generator raised StopIteration")
+                raise RuntimeError(
+                    "data iterator exhausted mid-training; train loaders "
+                    "must be infinite (data/loader.py TrainLoader)") from None
+            return stack(batches), batches[-1]
+
+        sizes = []
         it = start_iter
         while it < max_iter:
-            k = min(K, max_iter - it)
+            sizes.append(min(K, max_iter - it))
+            it += sizes[-1]
+
+        if self._prefetch_chunks <= 0:
+            for k in sizes:
+                t0 = time.perf_counter()
+                stacked, last = build(k)
+                yield stacked, last, k, (time.perf_counter() - t0) / k
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch_chunks)
+
+        def worker():
+            try:
+                for k in sizes:
+                    stacked, last = build(k)
+                    # enqueue the host->device copy NOW, while the device
+                    # is (typically) still busy with an earlier chunk;
+                    # leaves a sharding-aware stack_fn already placed
+                    # (stack_and_shard_batches) stay exactly where they are
+                    stacked = jax.tree.map(
+                        lambda x: x if isinstance(x, jax.Array)
+                        else jax.device_put(x), stacked)
+                    q.put((stacked, last, k))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 - re-raised on loop
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="chunk-prefetch")
+        t.start()
+        while True:
+            t0 = time.perf_counter()
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            stacked, last, k = item
+            yield stacked, last, k, (time.perf_counter() - t0) / k
+
+    def _run_chunked(self, start_iter: int, max_iter: int):
+        """K steps per dispatch via ``multi_step_fn`` (lax.scan). Hook
+        before_steps for the chunk fire before the dispatch (with the
+        correct ``self.iter``), after_steps per iteration after it."""
+        it = start_iter
+        for stacked, last, k, data_time in self._chunk_iter(start_iter,
+                                                            max_iter):
             for j in range(k):
                 self.iter = it + j
                 for h in self._hooks:
                     h.before_step()
-            t0 = time.perf_counter()
-            batches = [next(self._data_iter) for _ in range(k)]
-            stacked = stack(batches)
-            self._pending_data_time = (time.perf_counter() - t0) / k
+            self._pending_data_time = data_time
             t0 = time.perf_counter()
             # tail chunks (k < K) reuse the same scan fn: lax.scan infers
             # the length from the stacked leading axis (one extra compile,
             # and only when max_iter % K != 0).
             self.state, metrics = self._multi_step_fn(
                 self.state, stacked, self._rng)
-            self.last_batch = batches[-1]
+            self.last_batch = last
             for j in range(k):
                 self.iter = it + j
                 if (self.iter + 1) % self._log_period == 0 or \

@@ -700,7 +700,7 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
                          unroll_rois: bool = False,
                          row_share: bool = True,
                          joint_emit: bool = False,
-                         allow_banded: bool = True) -> jnp.ndarray:
+                         allow_banded: bool = False) -> jnp.ndarray:
     """Batch-in-grid exact RoIPool: (B, H, W, C) + (B, P, 4) -> (B, P, R, R, C).
 
     Same masked-16-window / y-RMQ / tiered formulation as
@@ -730,10 +730,14 @@ def roi_pool_pallas_grid(features: jnp.ndarray, boxes: jnp.ndarray,
         return _xla_fallback(features, boxes, spatial_scale, resolution,
                              roi_scale)
     if allow_banded and CT * 4 <= start_ct:
-        # the full-height level stack collapsed the channel tile >= 4x
-        # (large eval/TTA buckets): switch to the banded two-launch path,
-        # which keeps short rois — the bulk of WSOD proposal mixes — at a
-        # wide tile (PERF.md round-4)
+        # Banded two-launch path: short rois against 48-row band-local
+        # stacks at CT=1024, tall rois against the full stack. OFF BY
+        # DEFAULT after round-5 hardware measurements: on the VOC-like
+        # eval mix the band packing + two launches never pay for the wide
+        # tile — classic wins at every bucket where the switch would fire
+        # (1088: 24.7 vs 34.0 ms; 1280: 25.6 vs 35.5; 1536: 48.5 vs 52.1;
+        # bit-exact everywhere; PERF.md round-5). Kept behind the flag for
+        # proposal mixes with a much higher short-roi fraction.
         return roi_pool_pallas_banded(
             features, boxes, spatial_scale, resolution=resolution,
             roi_block=roi_block, c_tile=c_tile, interpret=interpret,

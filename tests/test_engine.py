@@ -181,6 +181,51 @@ def test_trainer_chunked_matches_eager():
             == tr_b.storage.history("total_loss").values())
 
 
+def test_trainer_chunked_prefetch_matches_inline():
+    """prefetch_chunks > 0 (the default: background thread stacks chunks and
+    enqueues their device_put while the device computes) must reproduce the
+    inline prefetch_chunks=0 trajectory and hook schedule exactly."""
+    max_iter = 10
+
+    def batches():
+        return iter(float(i) for i in range(max_iter))
+
+    step, multi, state_a = _chunked_setup()
+    rec_a = _Recorder()
+    tr_a = Trainer(step, state_a, batches(), jax.random.PRNGKey(0),
+                   log_period=4, multi_step_fn=multi, steps_per_dispatch=4,
+                   prefetch_chunks=0)
+    tr_a.register_hooks([rec_a])
+    tr_a.train(0, max_iter)
+
+    _, _, state_b = _chunked_setup()
+    rec_b = _Recorder()
+    tr_b = Trainer(step, state_b, batches(), jax.random.PRNGKey(0),
+                   log_period=4, multi_step_fn=multi, steps_per_dispatch=4,
+                   prefetch_chunks=2)
+    tr_b.register_hooks([rec_b])
+    tr_b.train(0, max_iter)
+
+    np.testing.assert_array_equal(
+        np.asarray(tr_a.state.params["params"]["w"]),
+        np.asarray(tr_b.state.params["params"]["w"]))
+    assert rec_a.after == rec_b.after == list(range(max_iter))
+    assert rec_a.fired == rec_b.fired
+    assert (tr_a.storage.history("total_loss").values()
+            == tr_b.storage.history("total_loss").values())
+
+
+def test_trainer_chunked_prefetch_propagates_worker_error():
+    """An exhausted/broken data iterator inside the prefetch worker must
+    re-raise on the training thread, not hang the queue."""
+    step, multi, state = _chunked_setup()
+    tr = Trainer(step, state, iter([1.0, 2.0]), jax.random.PRNGKey(0),
+                 log_period=4, multi_step_fn=multi, steps_per_dispatch=4,
+                 prefetch_chunks=2)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        tr.train(0, 8)
+
+
 def test_trainer_chunked_nan_guard():
     step, multi, state = _chunked_setup()
     bad = iter([1.0, float("nan"), 1.0, 1.0])

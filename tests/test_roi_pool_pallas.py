@@ -321,11 +321,13 @@ def test_grid_ct_selection_vmem_envelope():
 
     # expected per-bucket selections (PERF.md round-4 hardware table):
     # flagship train buckets keep the wide tile (the round-2 2x win);
-    # 896 halves; 1088+ collapse >=4x which flips the banded auto-switch.
+    # 896 halves; 1088+ collapse >=4x (the geometry the opt-in banded path
+    # keys on — banded dispatch is OFF by default after the round-5
+    # hardware timings showed classic wins at every such bucket).
     expected_ct = {512: 1024, 704: 1024, 768: 1024, 896: 512,
                    1088: 256, 1216: 256, 1280: 256, 1536: 128}
     for S, want in expected_ct.items():
         sel = grid_ct_selection(S // 8, S // 8, 2048, 2)
         assert sel.ct == want, (S, sel.ct, want)
-        banded = sel.ct * 4 <= sel.start_ct
-        assert banded == (S >= 1088), (S, sel.ct, sel.start_ct)
+        collapsed = sel.ct * 4 <= sel.start_ct
+        assert collapsed == (S >= 1088), (S, sel.ct, sel.start_ct)

@@ -24,7 +24,9 @@ from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc  # noqa: E402
 
 def convert_ss_box(dataset_name: str, mat_path: str, out_path: str):
     """Selective-Search .mat: 1-indexed (y1, x1, y2, x2) -> 0-indexed
-    XYXY (reference proposal_convert.py:38-40)."""
+    XYXY (reference proposal_convert.py:38-40). Scores are all-ONES, as in
+    the reference (:41) — they feed the WSDDN (objectness+1) feature scale,
+    so the constant matters numerically."""
     from scipy.io import loadmat
 
     data = loadmat(mat_path)
@@ -43,22 +45,35 @@ def convert_ss_box(dataset_name: str, mat_path: str, out_path: str):
         b = b[:, (1, 0, 3, 2)] - 1.0          # y1x1y2x2 (1-based) -> x1y1x2y2
         ids.append(r["image_id"])
         boxes.append(b)
-        scores.append(np.zeros(len(b), dtype=np.float32))
+        scores.append(np.ones(len(b), dtype=np.float32))
     _dump(ids, boxes, scores, out_path)
+
+
+def _mcg_key(record: dict, dataset_name: str) -> str:
+    """Per-image MCG filename stem: image_id for VOC-style datasets, the
+    file_name basename for coco/flickr (reference proposal_convert.py:67-73)."""
+    if "flickr" in dataset_name or "coco" in dataset_name:
+        return os.path.splitext(os.path.basename(record["file_name"]))[0]
+    return str(record["image_id"])
 
 
 def convert_mcg_box(dataset_name: str, mcg_dir: str, out_path: str):
     """MCG per-image .mat files with 'boxes' (y1, x1, y2, x2 1-based) and
-    'scores' (reference proposal_convert.py:90-140)."""
+    'scores' — or 'bboxes'/'bboxes_scores' for the flickr web datasets
+    (reference proposal_convert.py:53-97)."""
     from scipy.io import loadmat
 
     records = DatasetCatalog.get(dataset_name)
     ids, boxes, scores = [], [], []
     for r in records:
-        m = loadmat(os.path.join(mcg_dir, f"{r['image_id']}.mat"))
-        b = m["boxes"].astype(np.float32)
+        m = loadmat(os.path.join(mcg_dir, f"{_mcg_key(r, dataset_name)}.mat"))
+        if "flickr" in dataset_name:
+            raw_b, raw_s = m["bboxes"], m["bboxes_scores"]
+        else:
+            raw_b, raw_s = m["boxes"], m["scores"]
+        b = raw_b.astype(np.float32)
         b = b[:, (1, 0, 3, 2)] - 1.0
-        s = np.squeeze(m["scores"]).astype(np.float32)
+        s = np.squeeze(raw_s).astype(np.float32)
         ids.append(r["image_id"])
         boxes.append(b)
         scores.append(s)
