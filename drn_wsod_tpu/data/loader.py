@@ -15,7 +15,7 @@ import queue
 import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
-import jax.numpy as jnp
+
 import numpy as np
 
 from ..structures import WSODBatch
@@ -46,9 +46,18 @@ def get_detection_dataset_dicts(names: Sequence[str],
 
 
 def _collate(samples: List[Dict[str, np.ndarray]]) -> WSODBatch:
+    """Stack per-sample arrays into a HOST (numpy) WSODBatch.
+
+    Deliberately NOT jnp.asarray: on a remote-TPU platform that would
+    upload every batch through the tunnel at collate time, and the chunked
+    trainer's stack step would then pull each one BACK to stack it — a
+    full device round-trip per batch (measured ~500 ms/img on a degraded
+    tunnel, PERF.md round-5). Host batches cost nothing to stack; the one
+    upload happens when the (stacked) chunk is device_put by the prefetch
+    worker, or implicitly at dispatch."""
     stack = {k: np.stack([s[k] for s in samples])
              for k in samples[0] if not k.startswith("_")}
-    return WSODBatch(**{k: jnp.asarray(v) for k, v in stack.items()})
+    return WSODBatch(**stack)
 
 
 class TrainLoader:

@@ -78,6 +78,12 @@ class IterationTimer(HookBase):
         elif getattr(self.trainer, "_steps_per_dispatch", 1) == 1:
             storage.put_scalar("time", time.perf_counter() - self._step_start,
                                smoothing_hint=True)
+        prof = getattr(self.trainer, "last_prefetch_profile", None)
+        if prof:
+            # worker-side chunk build profile (prefetch thread): where the
+            # data pipeline spends its time when data_time > 0
+            storage.put_scalars(smoothing_hint=True, **{
+                f"prefetch/{k}": float(v) for k, v in prof.items()})
 
 
 class PeriodicWriter(HookBase):

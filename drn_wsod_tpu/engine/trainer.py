@@ -217,6 +217,7 @@ class Trainer:
         self.storage: Optional[EventStorage] = None
         self.last_batch = None
         self.last_chunk_step_time = None  # set by the chunked loop at fences
+        self.last_prefetch_profile = None  # set by the prefetch worker
         self._pending_metrics = None
         self._pending_data_time = 0.0
 
@@ -310,7 +311,9 @@ class Trainer:
         def worker():
             try:
                 for k in sizes:
+                    t0 = time.perf_counter()
                     stacked, last = build(k)
+                    t1 = time.perf_counter()
                     # enqueue the host->device copy NOW, while the device
                     # is (typically) still busy with an earlier chunk;
                     # leaves a sharding-aware stack_fn already placed
@@ -318,6 +321,11 @@ class Trainer:
                     stacked = jax.tree.map(
                         lambda x: x if isinstance(x, jax.Array)
                         else jax.device_put(x), stacked)
+                    t2 = time.perf_counter()
+                    # worker-side bottleneck profile, drained by
+                    # IterationTimer/cli_throughput for decomposition
+                    self.last_prefetch_profile = {
+                        "pull_stack_s": t1 - t0, "device_put_s": t2 - t1}
                     q.put((stacked, last, k))
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 - re-raised on loop
