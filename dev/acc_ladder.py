@@ -40,6 +40,13 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the three variants share most programs, and a
+# re-run (e.g. after a timeout) skips recompilation entirely
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ladder_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import numpy as np
 from PIL import Image
 
@@ -181,6 +188,10 @@ def ladder_cfg(out_dir, d, props_tr, props_te, variant, iters, hw, n_prop,
     cfg.DATASETS.PROPOSAL_FILES_TEST = (props_te, props_tr)
     cfg.SOLVER.IMS_PER_BATCH = 4
     cfg.SOLVER.MAX_ITER = iters
+    # eager per-step dispatch: the 20-step lax.scan chunk costs ~10 min of
+    # XLA CPU compile on this 1-core box per variant, which dwarfs any
+    # dispatch-overhead saving at toy scale (round-5 measurement)
+    cfg.SOLVER.STEPS_PER_DISPATCH = 1
     # The reference schedule (BASE_LR 0.01) assumes ImageNet-pretrained WS
     # weights; from random init the WSDDN image scores saturate at the BCE
     # clamp right after warmup (observed: loss pinned at exactly 2x its

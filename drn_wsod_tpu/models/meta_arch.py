@@ -192,23 +192,33 @@ class GeneralizedRCNNWSL(nn.Module):
                 # (objectness + 1) * validity multiply (reference
                 # roi_heads_oicr.py:342) fuses into the kernel epilogue,
                 # saving two full passes over the ~800MB pooled tensor.
-                from ..ops.roi_pool_pallas import roi_pool_pallas_grid
-
                 obj = (objectness + 1.0) if self.use_objectness else \
                     jnp.ones_like(objectness)
                 roi_scale = obj * prop_mask.astype(obj.dtype)
 
-                # batch-in-grid kernel (batch as a leading grid dim of ONE
-                # launch, raw map DMA'd from HBM into a single-buffered
-                # level-stack scratch): CT reaches 1024, halving the
-                # scalar-overhead-bound bin-pass count — measured 33.8 ms
-                # vs 36.6 for the vmap'd CT=512 path (PERF.md). RB=16
-                # measured best; unroll_rois regresses the 5-tier kernel
-                # (code blowup), keep the fori form.
-                pooled = roi_pool_pallas_grid(
-                    feats, proposals, scale, resolution=res,
-                    interpret=jax.default_backend() == "cpu",
-                    roi_scale=roi_scale, roi_block=16)
+                if jax.default_backend() == "cpu":
+                    # The kernel's exact-XLA twin (the formulation it is
+                    # bit-exact against on hardware). Running the Pallas
+                    # kernel in interpret mode here instead was measured at
+                    # ~36 s/step on the toy ladder config — interpret mode
+                    # is for kernel unit tests, not full-model CPU runs.
+                    from ..ops.roi_pool_pallas import _xla_fallback
+
+                    pooled = _xla_fallback(feats, proposals, scale, res,
+                                           roi_scale)
+                else:
+                    # batch-in-grid kernel (batch as a leading grid dim of
+                    # ONE launch, raw map DMA'd from HBM into a single-
+                    # buffered level-stack scratch): CT reaches 1024,
+                    # halving the scalar-overhead-bound bin-pass count —
+                    # measured 33.8 ms vs 36.6 for the vmap'd CT=512 path
+                    # (PERF.md). RB=16 measured best; unroll_rois regresses
+                    # the 5-tier kernel (code blowup), keep the fori form.
+                    from ..ops.roi_pool_pallas import roi_pool_pallas_grid
+
+                    pooled = roi_pool_pallas_grid(
+                        feats, proposals, scale, resolution=res,
+                        roi_scale=roi_scale, roi_block=16)
                 B, P = pooled.shape[:2]
                 flat = pooled.reshape(B * P, -1)
                 feats_out = self.dan(flat, train=train)
