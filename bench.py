@@ -236,9 +236,12 @@ def main():
     # reliable fence, and the donated state chain forces every intermediate
     # step to have completed.
 
-    # --- CHEAPEST FIRST: single-step dispatch path. One step's compile is
-    # the smallest program that yields a defensible number; a 5-iteration
-    # timed run lands a partial result before anything expensive runs.
+    # --- CHEAPEST FIRST: single-step dispatch path — ALSO the Trainer's
+    # shipped default since round 5 (SOLVER.STEPS_PER_DISPATCH=1 + eager
+    # per-batch device_put prefetch; see config/defaults.py for the
+    # measurement that flipped it). One step's compile is the smallest
+    # program that yields a defensible number; a 5-iteration timed run
+    # lands a partial result before anything expensive runs.
     step = jax.jit(raw_step, donate_argnums=(0,))
     wd.kick("per-step compile + warmup (1 dispatch)")
     state, metrics = step(state, batch, rng)
@@ -267,15 +270,14 @@ def main():
     _log(f"per-step dispatch: {dt * 1e3 / iters:.2f} ms/step, "
          f"{disp_img_s:.2f} img/s/chip")
 
-    # --- headline: `iters` steps inside ONE dispatch — the Trainer's
-    # SHIPPED execution path (engine/trainer.py:make_multi_train_step,
-    # lax.scan over the donated state and a K-STACKED batch, so every
-    # scanned step consumes FRESH per-step data from HBM exactly like the
-    # CLI trainer does — not one cached batch). Through the remote-TPU
-    # tunnel a per-step dispatch additionally pays ~5ms/step of enqueue
-    # bookkeeping that a locally-attached host would not (PERF.md dispatch
-    # bisect); trajectory parity between the two is tested
-    # (tests/test_engine.py::test_scanned_multi_step_matches_dispatched).
+    # --- secondary: `iters` steps inside ONE dispatch — the Trainer's
+    # OPTIONAL chunked path (SOLVER.STEPS_PER_DISPATCH > 1;
+    # engine/trainer.py:make_multi_train_step, lax.scan over the donated
+    # state and a K-STACKED batch, so every scanned step consumes FRESH
+    # per-step data from HBM — not one cached batch, which would let XLA
+    # hoist the frozen backbone and inflate the number ~16%, PERF.md
+    # round-5 scan-variants bisect). Trajectory parity between the two is
+    # tested (tests/test_engine.py::test_scanned_multi_step_matches_dispatched).
     import jax.numpy as jnp
 
     from drn_wsod_tpu.engine import make_multi_train_step

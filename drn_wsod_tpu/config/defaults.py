@@ -246,12 +246,20 @@ def get_cfg() -> CfgNode:
     _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
     _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
     # K train steps per XLA dispatch (lax.scan over the donated state,
-    # engine/trainer.py:make_multi_train_step). Removes per-dispatch enqueue
-    # overhead (~5 ms/step through a remote-TPU tunnel, PERF.md). The
-    # effective K is gcd-reduced against every active hook period so
-    # periodic hooks observe exactly the state they would have seen eagerly;
-    # 1 disables chunking (CSC/WSJDS training forces 1: it switches step
-    # programs on a host-side iteration counter).
+    # engine/trainer.py:make_multi_train_step). Round-5 measurements
+    # (PERF.md scan-variants bisect): on DEVICE TIME, eager per-step
+    # dispatch is the fastest fresh-data execution (79.7 ms/step flagship
+    # vs 86.5 for the 20-step scan — the scan's earlier advantage was
+    # frozen-backbone hoisting over a reused benchmark batch); but each
+    # eager step pays one dispatch enqueue, which on a high-latency or
+    # degraded remote-TPU link multiplies into seconds per step (measured
+    # 1.76 s/it through a degraded tunnel where the chunked path ran
+    # 0.104). K=20 default = latency-robust chunking; set 1 on locally-
+    # attached hosts (enqueue ~0.5 ms) for the eager path with per-batch
+    # device_put prefetch. K's effective value is gcd-reduced against
+    # every active hook period so periodic hooks observe exactly the
+    # state they would have seen eagerly (CSC/WSJDS training forces 1: it
+    # switches step programs on a host-side iteration counter).
     _C.SOLVER.STEPS_PER_DISPATCH = 20
 
     # -------------------------------------------------------------------- test

@@ -72,12 +72,15 @@ class IterationTimer(HookBase):
         # chunked (K-steps-per-dispatch) trainer: per-step wall clock is
         # meaningless (the dispatch is async); the trainer publishes the
         # fenced chunk time / K instead.
+        # Both loop modes publish fenced time-per-step at flush points
+        # (trainer.last_chunk_step_time). Per-step wall clock is NEVER a
+        # valid fallback: dispatches are async on every backend this runs
+        # on, so wall time between steps measures enqueue, not execution
+        # (it polluted the eager-mode throughput probe with 0.04 s/it
+        # readings against a 0.08 s/it device floor, round-5).
         chunk = getattr(self.trainer, "last_chunk_step_time", None)
         if chunk is not None:
             storage.put_scalar("time", chunk, smoothing_hint=True)
-        elif getattr(self.trainer, "_steps_per_dispatch", 1) == 1:
-            storage.put_scalar("time", time.perf_counter() - self._step_start,
-                               smoothing_hint=True)
         prof = getattr(self.trainer, "last_prefetch_profile", None)
         if prof:
             # worker-side chunk build profile (prefetch thread): where the

@@ -39,6 +39,8 @@ from .hooks import HookBase
 
 logger = logging.getLogger(__name__)
 
+_STOP = object()  # eager-prefetch end-of-stream sentinel
+
 
 @chex.dataclass
 class TrainState:
@@ -216,8 +218,10 @@ class Trainer:
         self.max_iter = 0
         self.storage: Optional[EventStorage] = None
         self.last_batch = None
-        self.last_chunk_step_time = None  # set by the chunked loop at fences
+        self.last_chunk_step_time = None  # set at fences (both loop modes)
         self.last_prefetch_profile = None  # set by the prefetch worker
+        self._last_fence_time = None
+        self._last_fence_iter = None
         self._pending_metrics = None
         self._pending_data_time = 0.0
 
@@ -232,6 +236,15 @@ class Trainer:
         logger.info(f"Starting training from iteration {start_iter}")
         chunked = (self._multi_step_fn is not None
                    and self._steps_per_dispatch > 1)
+        if not chunked and self._prefetch_chunks > 0:
+            # eager mode: device_put each batch ahead of its dispatch on a
+            # background thread, so upload overlaps the previous steps'
+            # compute. Measured (PERF.md round-5): eager per-step dispatch
+            # is the fastest FRESH-data execution (79.7 ms/step flagship vs
+            # 86.5 for the K-step scan — the scan's reused-batch advantage
+            # was frozen-backbone hoisting, which fresh data removes).
+            self._data_iter = self._eager_prefetch_iter(
+                self._data_iter, max_iter - start_iter)
         with EventStorage(start_iter) as self.storage:
             try:
                 for h in self._hooks:
@@ -251,6 +264,45 @@ class Trainer:
                 for h in self._hooks:
                     h.after_train()
 
+    def _eager_prefetch_iter(self, data_iter, n: int):
+        """Background thread pulls up to ``2 * prefetch_chunks`` batches
+        ahead and enqueues their host->device copies; exceptions re-raise on
+        the training thread. Bounded to ``n`` pulls so a finite iterator is
+        not over-consumed past the training horizon."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2 * self._prefetch_chunks)
+
+        def worker():
+            try:
+                for _ in range(n):
+                    try:
+                        batch = next(data_iter)
+                    except StopIteration:
+                        q.put(RuntimeError(
+                            "data iterator exhausted mid-training; train "
+                            "loaders must be infinite (data/loader.py "
+                            "TrainLoader)"))
+                        return
+                    batch = jax.tree.map(
+                        lambda x: x if isinstance(x, jax.Array)
+                        else jax.device_put(x), batch)
+                    q.put(batch)
+                q.put(_STOP)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True,
+                         name="batch-prefetch").start()
+        while True:
+            item = q.get()
+            if item is _STOP:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def run_step(self):
         t0 = time.perf_counter()
         batch = next(self._data_iter)
@@ -263,7 +315,19 @@ class Trainer:
 
         if (self.iter + 1) % self._log_period == 0 or \
                 self.iter == self.max_iter - 1:
+            # the flush's device_get FENCES every step enqueued since the
+            # previous flush; dispatches are async, so per-step wall time
+            # is meaningless and the fenced window / steps is the true
+            # per-step cost (published as last_chunk_step_time for
+            # IterationTimer, same contract as the chunked path)
             self._flush_metrics()
+            now = time.perf_counter()
+            if self._last_fence_iter is not None:
+                steps = self.iter - self._last_fence_iter
+                if steps > 0:
+                    self.last_chunk_step_time = \
+                        (now - self._last_fence_time) / steps
+            self._last_fence_time, self._last_fence_iter = now, self.iter
 
     def _chunk_iter(self, start_iter: int, max_iter: int):
         """Yield (stacked_chunk, last_host_batch, k, per_step_data_time).

@@ -197,7 +197,7 @@ def test_wsddn_oicr_gradient_parity_vs_torch():
     tl = F.binary_cross_entropy(img, torch.from_numpy(labels)[None],
                                 reduction="mean")
     logits = torch.from_numpy(feats) @ tw_ref               # (P, C+1)
-    ce = F.cross_entropy(logits, torch.from_numpy(gt_class).long(),
+    ce = F.cross_entropy(logits, torch.from_numpy(gt_class.copy()).long(),
                          reduction="none", ignore_index=-1)
     w = torch.from_numpy(weight)
     tl = tl + (ce * w).sum() / (w > 1e-12).float().sum()

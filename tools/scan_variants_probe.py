@@ -54,7 +54,10 @@ def main():
     raw_step = make_train_step(model, tx)
 
     def fresh_state():
-        return create_train_state(variables, tx)
+        # deep-copy: donated buffers from a previous variant's jit must not
+        # alias the shared `variables` pytree
+        fresh = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
+        return create_train_state(fresh, tx)
 
     def fence(x):
         float(jax.device_get(jnp.asarray(x).reshape(-1)[-1].astype(jnp.float32)))
@@ -116,6 +119,30 @@ def main():
     st, losses = mr(st, batch, rng)
     fence(losses[-1])
     results["scan_reused_batch"] = (time.perf_counter() - t0) / K * 1e3
+
+    # 5. python-unrolled K steps in ONE jit, batches as SEPARATE args:
+    # no scan slicing of a stacked array, no per-step enqueue — tests
+    # whether the fresh-batch penalty is the scan's xs handling
+    def unrolled(state, r, *batches):
+        losses = []
+        for b in batches:
+            state, m = raw_step(state, b, r)
+            losses.append(m["total_loss"])
+        return state, jnp.stack(losses)
+
+    un = jax.jit(unrolled, donate_argnums=(0,))
+    bs = [_synthetic_batch(B=B, H=H, W=H, P=P,
+                           C=cfg.MODEL.ROI_HEADS.NUM_CLASSES, seed=i)
+          for i in range(K)]
+    bs = jax.device_put(bs)
+    fence(bs[-1].proposals[0, 0, 0])
+    st = fresh_state()
+    st, losses = un(st, rng, *bs)
+    fence(losses[-1])
+    t0 = time.perf_counter()
+    st, losses = un(st, rng, *bs)
+    fence(losses[-1])
+    results["unrolled_fresh"] = (time.perf_counter() - t0) / K * 1e3
 
     for k, v in results.items():
         print(f"{k:20s} {v:7.2f} ms/step  {B / v * 1e3:6.2f} img/s/chip",
