@@ -77,9 +77,18 @@ def _paint(rng, hw, cls, with_obj=True):
     body = rng.randint(-15, 15, (h, w, 3))
     body[:, :, cls] += 70                     # class-colored body
     img[y1:y1 + h, x1:x1 + w] += body
-    # class-agnostic bright part at the center (the WSDDN bait)
+    # Class-agnostic bright part at the center (the WSDDN bait). ADDITIVE
+    # (+70 over the class-colored body), not saturating: a hard `= 230`
+    # patch was measured to part-dominate BOTH streams of the joint OICR
+    # model on TPU AND the reference-spec mining has no counter-mechanism
+    # (round-5 ladder run: oicr CorLoc 0/16 incl. its internal WSDDN
+    # stream, standalone wsddn 37.5 — the OICR paper's own motivating
+    # failure mode, not a framework bug; PERF.md "Synthetic accuracy
+    # ladder"). The additive patch keeps the part the most salient single
+    # region while the body retains the class signal inside it — the
+    # natural-image regime the refinement machinery is built for.
     px, py, ps = x1 + w // 2, y1 + h // 2, max(3, min(w, h) // 5)
-    img[py - ps:py + ps, px - ps:px + ps] = 230
+    img[py - ps:py + ps, px - ps:px + ps] += 70
     return (np.clip(img, 0, 255).astype(np.uint8),
             np.array([x1, y1, x1 + w - 1, y1 + h - 1], np.float32))
 
