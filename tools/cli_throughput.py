@@ -111,6 +111,11 @@ TEST:
 VIS_PERIOD: 0
 OUTPUT_DIR: "{out_dir}"
 """)
+    # fresh metrics: JSONWriter APPENDS, and stale rows from a previous
+    # probe run would silently pollute the stats below (bit round 5)
+    metrics_path = os.path.join(out_dir, "metrics.json")
+    if os.path.exists(metrics_path):
+        os.remove(metrics_path)
     env = dict(os.environ)
     env["DETECTRON2_DATASETS"] = args.root
     r = subprocess.run(
@@ -127,7 +132,7 @@ OUTPUT_DIR: "{out_dir}"
     import jax  # only for device_count; after the subprocess to avoid 2 TPU clients
 
     times = []
-    with open(os.path.join(out_dir, "metrics.json")) as f:
+    with open(metrics_path) as f:
         for line in f:
             rec = json.loads(line)
             if "time" in rec and rec.get("iteration", 0) >= 20:
@@ -135,14 +140,20 @@ OUTPUT_DIR: "{out_dir}"
     assert times, "no post-compile time scalars recorded"
     sec_it = float(np.mean(times))
     img_s = 2.0 / sec_it / jax.device_count()
+    # median isolates the steady state from tunnel-stall windows (the
+    # axon link oscillates; a single stalled fence window should be
+    # visible in the per-window list, not silently averaged in)
+    sec_med = float(np.median(times))
     print(json.dumps({
         "metric": "cli_trainer_images_per_sec_per_chip",
-        "value": round(img_s, 3),
+        "value": round(2.0 / sec_med / jax.device_count(), 3),
         "unit": "img/s/chip",
+        "sec_per_iter_median": round(sec_med, 5),
         "sec_per_iter_mean": round(sec_it, 5),
-        "sec_per_iter_min": round(min(times), 5),
-        "n_measured_iters": len(times),
-        "vs_baseline": round(img_s / (42.1 / 8), 3),
+        "sec_per_iter_windows": [round(t, 4) for t in times],
+        "mean_img_s": round(img_s, 3),
+        "vs_baseline": round(2.0 / sec_med / jax.device_count() / (42.1 / 8),
+                             3),
     }), flush=True)
 
 
