@@ -181,6 +181,37 @@ def test_trainer_chunked_matches_eager():
             == tr_b.storage.history("total_loss").values())
 
 
+def test_trainer_eager_prefetch_matches_unprefetched():
+    """Eager mode's per-batch device_put prefetch thread (the round-5
+    default eager data path) must reproduce the unprefetched trajectory,
+    batch order, and hook schedule exactly."""
+    max_iter = 7
+
+    def batches():
+        return iter(float(i) for i in range(max_iter))
+
+    step, _, state_a = _chunked_setup()
+    rec_a = _Recorder()
+    tr_a = Trainer(step, state_a, batches(), jax.random.PRNGKey(0),
+                   log_period=3, prefetch_chunks=0)
+    tr_a.register_hooks([rec_a])
+    tr_a.train(0, max_iter)
+
+    _, _, state_b = _chunked_setup()
+    rec_b = _Recorder()
+    tr_b = Trainer(step, state_b, batches(), jax.random.PRNGKey(0),
+                   log_period=3, prefetch_chunks=2)
+    tr_b.register_hooks([rec_b])
+    tr_b.train(0, max_iter)
+
+    np.testing.assert_array_equal(
+        np.asarray(tr_a.state.params["params"]["w"]),
+        np.asarray(tr_b.state.params["params"]["w"]))
+    assert rec_a.after == rec_b.after == list(range(max_iter))
+    assert (tr_a.storage.history("total_loss").values()
+            == tr_b.storage.history("total_loss").values())
+
+
 def test_trainer_chunked_prefetch_matches_inline():
     """prefetch_chunks > 0 (the default: background thread stacks chunks and
     enqueues their device_put while the device computes) must reproduce the
