@@ -19,7 +19,15 @@ TPU specifics:
     per step. Hook semantics are exact when K divides every hook period
     (the CLI picks K = gcd(SOLVER.STEPS_PER_DISPATCH, all active periods),
     tools/train_net.py), because then every firing hook observes the same
-    end-of-chunk state it would have seen eagerly.
+    end-of-chunk state it would have seen eagerly;
+  * data moves to the device on a background prefetch thread in both loop
+    modes (chunk-level stacking+device_put, or per-batch in eager mode),
+    so upload streams while the device computes. Eager per-step dispatch
+    is the fastest fresh-data execution on DEVICE time (PERF.md round-5
+    scan-variants bisect: 79.7 vs 86.5 ms/step — the scan's apparent
+    advantage was XLA hoisting the frozen backbone over a reused
+    benchmark batch); chunking trades ~7 ms/step of scan overhead for
+    robustness to per-dispatch latency on remote links.
 """
 
 from __future__ import annotations
