@@ -119,6 +119,10 @@ def get_cfg() -> CfgNode:
     _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
     _C.MODEL.SEM_SEG_HEAD.IGNORE_VALUE = 255
     _C.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 1.0
+    # WSJDS constrain-to-boundary: CRF-refined pseudo targets + weighted KL
+    # during training and CRF refinement at inference (reference WSL
+    # MODEL.SEM_SEG_HEAD.CONSTRAINT, seg_heads.py:92,140-160)
+    _C.MODEL.SEM_SEG_HEAD.CONSTRAINT = False
     _C.MODEL.PANOPTIC_FPN = CfgNode()
     _C.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT = 1.0
     _C.MODEL.PANOPTIC_FPN.COMBINE = CfgNode()

@@ -128,6 +128,8 @@ def _build_rcnn_wsl(cfg: CfgNode) -> GeneralizedRCNNWSL:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
         with_seg=head_name == "WSJDSROIHeads",
+        seg_constraint=(head_name == "WSJDSROIHeads"
+                        and cfg.MODEL.SEM_SEG_HEAD.CONSTRAINT),
         mask_on=cfg.MODEL.MASK_ON,
         mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
         keypoint_on=cfg.MODEL.KEYPOINT_ON,

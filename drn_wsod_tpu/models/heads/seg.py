@@ -125,6 +125,66 @@ def seg_loss_from_cpg(seg_logits: jnp.ndarray, cpg: jnp.ndarray,
     return jnp.sum(ce) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
 
+def crf_constraint(seg_fg_probs: jnp.ndarray, image: jnp.ndarray,
+                   fg_threshold: float = 0.5, bg_threshold: float = 0.5,
+                   max_iter: int = 10):
+    """CRF-refined pseudo targets + balanced weights for the WSJDS
+    constrain-to-boundary loss (reference ``SemSegHead.crf``,
+    projects/WSL/wsl/modeling/seg_heads/seg_heads.py:173-229).
+
+    Verbatim semantics: per image, bg = 1 - max_c fg, the (1+C) probability
+    stack is refined by the dense CRF (ops/crf.py crf_forward — the live
+    pydensecrf path's semantics) against the raw-pixel image resized to the
+    seg resolution; refined FG probs are thresholded into {pos, neg,
+    ignore} ({pos, neg} at the reference defaults fg=bg=0.5, :209-212) and
+    weights balance each (image, class) plane by its pos/neg pixel counts
+    (:219-227).
+
+    Args:
+      seg_fg_probs: (B, h, w, C) sigmoid FG probabilities.
+      image: (B, H, W, 3) RAW pixels 0..255 (the reference de-normalizes
+        back to raw before the CRF, seg_heads.py:98-100,181-183).
+    Returns: (crf_fg (B, h, w, C), weights (B, h, w, C)) — stop-gradient'd
+      (the reference computes them under torch.no_grad()).
+    """
+    from ...ops.crf import crf_forward
+
+    B, h, w, C = seg_fg_probs.shape
+    img_small = jax.vmap(
+        lambda im: jax.image.resize(im.astype(jnp.float32),
+                                    (h, w, image.shape[-1]), "linear")
+    )(image)
+    bg = 1.0 - jnp.max(seg_fg_probs, axis=-1, keepdims=True)
+    stack = jnp.concatenate([bg, seg_fg_probs], axis=-1)      # (B,h,w,1+C)
+    x_crf = jax.vmap(
+        lambda p, im: crf_forward(p, im, max_iter=max_iter))(stack, img_small)
+    crf_fg = x_crf[..., 1:]
+
+    pos = crf_fg >= fg_threshold
+    neg = crf_fg < bg_threshold                   # ignore band when bg < fg
+    pos_cnt = jnp.sum(pos, axis=(1, 2), keepdims=True)
+    neg_cnt = jnp.sum(neg, axis=(1, 2), keepdims=True)
+    weights = jnp.where(
+        pos, 1.0 / jnp.maximum(pos_cnt, 1),
+        jnp.where(neg, 1.0 / jnp.maximum(neg_cnt, 1), 0.0))
+    return (jax.lax.stop_gradient(crf_fg),
+            jax.lax.stop_gradient(weights.astype(jnp.float32)))
+
+
+def crf_constraint_loss(seg_fg_probs: jnp.ndarray, crf_fg: jnp.ndarray,
+                        weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted KL(crf || prediction) constraint (reference
+    seg_heads.py:140-147, verbatim including the double-sigmoid quirk: the
+    reference passes ``log(sigmoid(x_sigmoid))`` — sigmoid applied to the
+    already-sigmoided prediction — as the KL input; entries > 1000 are
+    zeroed (:145) and the loss is a SUM, not a mean (:146))."""
+    inp = jnp.log(jnp.clip(jax.nn.sigmoid(seg_fg_probs), 1e-12))
+    kl = crf_fg * (jnp.log(jnp.clip(crf_fg, 1e-12)) - inp)
+    kl = kl * weights
+    kl = jnp.where(kl > 1000.0, 0.0, kl)
+    return jnp.sum(kl)
+
+
 def mask_loss(mask_logits: jnp.ndarray, gt_class: jnp.ndarray,
               target_masks: jnp.ndarray, fg_mask: jnp.ndarray) -> jnp.ndarray:
     """Per-RoI BCE on the channel of the proposal's class

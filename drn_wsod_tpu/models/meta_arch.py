@@ -69,6 +69,10 @@ class GeneralizedRCNNWSL(nn.Module):
     # backbone features, trained from CPG pseudo-labels inside the CSC step
     # (reference projects/WSL/wsl/modeling/seg_heads/).
     with_seg: bool = False
+    # CRF constrain-to-boundary loss on the seg branch + CRF refinement at
+    # inference (reference seg_heads.py:140-160 CONSTRAINT flag; targets
+    # from SemSegHead.crf :173-229 via ops/crf.py).
+    seg_constraint: bool = False
     # Keypoint R-CNN branch on the supervised FastRCNN path (reference
     # roi_heads.py:_forward_keypoint + keypoint_head.py).
     keypoint_on: bool = False
@@ -244,12 +248,32 @@ class GeneralizedRCNNWSL(nn.Module):
         return feats_out.reshape(B, P, -1)
 
     def semantic_logits(self, batch) -> jnp.ndarray:
-        """(B, Hf, Wf, C+1) semantic segmentation logits (WSJDS branch)."""
+        """(B, Hf, Wf, C+1) semantic segmentation logits (WSJDS branch).
+
+        With ``seg_constraint``, inference applies the dense CRF to the
+        class probabilities against the raw image and returns their log —
+        monotone for every argmax/softmax consumer (reference
+        seg_heads.py:150-160 applies the CRF at eval when CONSTRAINT is
+        on; deviation: we refine at the head's own resolution instead of
+        a fixed 513x513 intermediate — static shapes, one resize fewer).
+        """
         assert self.with_seg
         feats = self.features(batch.image)
         if isinstance(feats, dict):
             feats = feats[self.feature_name]
-        return self.seg_head(feats)
+        logits = self.seg_head(feats)
+        if self.seg_constraint:
+            from ..ops.crf import crf_forward
+
+            B, h, w, _ = logits.shape
+            img_small = jax.vmap(
+                lambda im: jax.image.resize(
+                    im.astype(jnp.float32), (h, w, batch.image.shape[-1]),
+                    "linear"))(batch.image)
+            probs = jax.nn.softmax(logits, axis=-1)
+            refined = jax.vmap(crf_forward)(probs, img_small)
+            logits = jnp.log(jnp.clip(refined, 1e-8))
+        return logits
 
     def proposal_scores(self, batch) -> jnp.ndarray:
         """WSDDN per-proposal scores (B, P, C) — the differentiable-in-image
@@ -287,6 +311,21 @@ class GeneralizedRCNNWSL(nn.Module):
                 seg_losses["loss_seg"] = seg_loss_from_cpg(
                     seg_logits, jax.lax.stop_gradient(cpg), batch.labels,
                     batch.image_hw)
+            if self.seg_constraint:
+                # constrain-to-boundary: CRF-refined pseudo targets + KL
+                # (reference seg_heads.py:140-147; targets :173-229).
+                # batch.image is RAW pixels here (normalization happens
+                # inside features()), matching the reference's
+                # de-normalized CRF input.
+                from .heads.seg import crf_constraint, crf_constraint_loss
+
+                fg_probs = jax.nn.sigmoid(seg_logits[..., 1:])
+                crf_fg, w = crf_constraint(fg_probs, batch.image)
+                # the loss takes the SIGMOIDED prediction (the reference
+                # feeds x_sigmoid into log(sigmoid(.)) — quirk mirrored
+                # verbatim, see crf_constraint_loss)
+                seg_losses["loss_constraint"] = crf_constraint_loss(
+                    fg_probs, crf_fg, w)
 
         if self.head_type == "FastRCNN":
             losses = self._fast_rcnn_losses(feats, batch, train=train)
