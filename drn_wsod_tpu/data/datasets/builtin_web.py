@@ -37,6 +37,36 @@ def register_all_web(root: str = "datasets"):
         MetadataCatalog.get(name).set(evaluator_type="coco")
 
 
+# VOC-2012 + SBD instance splits used by the WSJDS DetectionSegmentation
+# configs (reference ws-jds_*_Seg.yaml DATASETS). The reference's own
+# ``register_all_voc_sbd`` (builtin.py:55-63) references an UNDEFINED
+# ``_PREDEFINED_SPLITS_VOC_SBD`` table — dead code that would NameError if
+# called; these are the names its configs expect, in the same COCO-format
+# layout the reference converter scripts produce.
+_VOC_SBD_SPLITS = {
+    "voc_2012_train_instance": (
+        "VOC_SBD/images",
+        "VOC_SBD/annotations/voc_2012_train_instance.json"),
+    "voc_2012_val_instance": (
+        "VOC_SBD/images",
+        "VOC_SBD/annotations/voc_2012_val_instance.json"),
+    "sbd_9118_instance": (
+        "VOC_SBD/images",
+        "VOC_SBD/annotations/sbd_9118_instance.json"),
+}
+
+
+def register_all_voc_sbd(root: str = "datasets"):
+    for name, (image_dir, json_file) in _VOC_SBD_SPLITS.items():
+        if name in DatasetCatalog:
+            continue
+        jf = os.path.join(root, json_file)
+        if not os.path.exists(jf):
+            continue  # instance-seg data is optional
+        register_coco_instances(name, jf, os.path.join(root, image_dir))
+        MetadataCatalog.get(name).set(evaluator_type="coco")
+
+
 def voc_label_colormap(n: int = 256) -> np.ndarray:
     """The VOC bit-interleave colormap (reference builtin.py colormap)."""
     def bitget(v, i):

@@ -29,7 +29,8 @@ from drn_wsod_tpu.config import add_wsl_config, get_cfg
 from drn_wsod_tpu.data import (DatasetMapper, MetadataCatalog,
                                build_detection_test_loader,
                                build_detection_train_loader)
-from drn_wsod_tpu.data.datasets.builtin_web import register_all_web
+from drn_wsod_tpu.data.datasets.builtin_web import (register_all_voc_sbd,
+                                                    register_all_web)
 from drn_wsod_tpu.data.datasets.coco import register_all_coco
 from drn_wsod_tpu.data.datasets.lvis import register_all_lvis
 from drn_wsod_tpu.data.datasets.voc import register_all_pascal_voc
@@ -365,6 +366,7 @@ def main(args):
     register_all_coco(data_root)
     register_all_lvis(data_root)
     register_all_web(data_root)
+    register_all_voc_sbd(data_root)
 
     model = build_model(cfg)
     if args.eval_only:
