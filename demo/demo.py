@@ -29,6 +29,31 @@ def grid_proposals(h, w, n_scales=4):
     return np.asarray(boxes, dtype=np.float32)
 
 
+def frame_proposals(data, fi: int):
+    """Extract frame ``fi``'s (boxes, objectness) from a proposal pickle.
+
+    Accepts the reference pickle layouts: {"boxes": [per-image (Ni,4)],
+    "objectness_logits"/"scores": [per-image (Ni,)]} (proposal_convert.py
+    output, legacy "scores" key included) AND the single-image shorthand
+    {"boxes": (N, 4), "scores": (N,)} — a bare 2-D array is ONE image's
+    boxes, not a per-image list (indexing it per frame would silently hand
+    each frame a 1-D row)."""
+    raw = data["boxes"] if "boxes" in data else data
+    if isinstance(raw, np.ndarray) and raw.ndim == 2:
+        all_boxes = [raw]
+    else:
+        all_boxes = raw
+    boxes = np.asarray(all_boxes[min(fi, len(all_boxes) - 1)],
+                       dtype=np.float32)
+    obj = data.get("objectness_logits", data.get("scores"))
+    if obj is None:
+        obj = [np.zeros(len(boxes))]
+    if isinstance(obj, np.ndarray) and obj.ndim == 1:
+        obj = [obj]
+    objectness = np.asarray(obj[min(fi, len(obj) - 1)], dtype=np.float32)
+    return boxes, objectness
+
+
 def main():
     from drn_wsod_tpu.config import get_cfg
     from drn_wsod_tpu.data.datasets.voc import VOC_CLASS_NAMES
@@ -73,14 +98,7 @@ def main():
     for fi, path in enumerate(args.input):
         image = read_image(path, cfg.INPUT.FORMAT)
         if proposal_data is not None:
-            data = proposal_data
-            all_boxes = data["boxes"] if "boxes" in data else [data]
-            boxes = np.asarray(all_boxes[min(fi, len(all_boxes) - 1)],
-                               dtype=np.float32)
-            obj = data.get("objectness_logits",
-                           [np.zeros(len(boxes))] * (fi + 1))
-            objectness = np.asarray(obj[min(fi, len(obj) - 1)],
-                                    dtype=np.float32)
+            boxes, objectness = frame_proposals(proposal_data, fi)
         else:
             boxes = grid_proposals(*image.shape[:2])
             objectness = np.zeros(len(boxes), dtype=np.float32)

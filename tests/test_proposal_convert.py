@@ -169,3 +169,38 @@ def test_legacy_reference_pickle_keys(tmp_path):
                                   [[2, 2, 8, 9], [0, 0, 10, 10]])
     np.testing.assert_allclose(loaded[0]["proposal_objectness_logits"],
                                [0.9, 0.2], rtol=1e-6)
+
+
+def test_demo_frame_proposals_layouts():
+    """demo.py proposal parsing accepts both the per-image-list pickle
+    (reference proposal_convert output incl. legacy 'scores' key) and the
+    single-image shorthand {'boxes': (N,4)} — a bare 2-D array must be one
+    image's boxes, not be indexed per frame (round-5 demo smoke bug)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from demo import frame_proposals
+
+    b0 = np.array([[0, 0, 10, 10], [5, 5, 20, 20]], np.float32)
+    b1 = np.array([[1, 1, 4, 4]], np.float32)
+
+    # per-image list + legacy scores key
+    data = {"boxes": [b0, b1], "scores": [np.array([0.5, 0.25]),
+                                          np.array([1.0])]}
+    bx, ob = frame_proposals(data, 0)
+    np.testing.assert_array_equal(bx, b0)
+    np.testing.assert_allclose(ob, [0.5, 0.25])
+    bx, ob = frame_proposals(data, 1)
+    np.testing.assert_array_equal(bx, b1)
+    # frame index past the end clamps to the last entry (frame-sequence use)
+    bx, _ = frame_proposals(data, 5)
+    np.testing.assert_array_equal(bx, b1)
+
+    # single-image shorthand: bare 2-D array + flat scores
+    data1 = {"boxes": b0, "scores": np.array([0.5, 0.25], np.float32)}
+    bx, ob = frame_proposals(data1, 0)
+    assert bx.shape == (2, 4)
+    np.testing.assert_array_equal(bx, b0)
+    np.testing.assert_allclose(ob, [0.5, 0.25])
+
+    # no scores at all -> zeros
+    _, ob = frame_proposals({"boxes": b0}, 0)
+    np.testing.assert_array_equal(ob, np.zeros(2))
