@@ -200,12 +200,22 @@ class Visualizer:
         self._draw = ImageDraw.Draw(self._img)
         return self
 
-    def draw_box(self, box, class_id: int = 0, score: Optional[float] = None):
-        color = self._colors[class_id % len(self._colors)]
+    def draw_box(self, box, class_id: Optional[int] = 0,
+                 score: Optional[float] = None):
+        """``class_id=None`` draws an unlabeled neutral-color box (e.g. raw
+        proposals); ids outside the name table fall back to the numeric id
+        instead of raising (mismatched metadata is a visualization nuisance,
+        not an error)."""
+        if class_id is None:
+            color = (180, 180, 180)
+        else:
+            color = self._colors[class_id % len(self._colors)]
         x1, y1, x2, y2 = [float(v) for v in box]
         self._draw.rectangle([x1, y1, x2, y2], outline=color, width=2)
-        if self._names or score is not None:
-            name = self._names[class_id] if self._names else str(class_id)
+        if class_id is not None and (self._names or score is not None):
+            name = (self._names[class_id]
+                    if self._names and 0 <= class_id < len(self._names)
+                    else str(class_id))
             label = f"{name} {score:.2f}" if score is not None else name
             self._draw.text((x1 + 2, max(y1 - 11, 0)), label, fill=color)
         return self

@@ -53,7 +53,7 @@ def main():
             v.draw_box(s["gt_boxes"][g], int(s["gt_classes"][g]))
         for pi in range(min(args.show_proposals,
                             int(s["proposal_mask"].sum()))):
-            v.draw_box(s["proposals"][pi], class_id=len(names) + 1)
+            v.draw_box(s["proposals"][pi], class_id=None)  # unlabeled
         v.save(os.path.join(args.output, f"sample_{i:04d}.png"))
     print(f"Wrote {min(args.n, len(records))} samples to {args.output}")
 
