@@ -153,3 +153,31 @@ def test_mapper_dense_gt(tmp_path):
     assert sem_out.shape == (64, 64)
     assert sem_out[10, 10] == 3 and sem_out[40, 10] == 0
     assert sem_out[60, 60] == 255     # padding is ignore
+
+
+def test_collate_yields_host_arrays():
+    """_collate must return HOST (numpy) batches: jnp leaves would upload
+    every batch through a remote-TPU tunnel at collate time and the chunked
+    trainer's stack step would pull each one BACK to stack it — a measured
+    ~500 ms/img round-trip on a degraded link (round-5 collate bug)."""
+    import numpy as np
+
+    from drn_wsod_tpu.data.loader import _collate
+
+    samples = [{"image": np.zeros((8, 8, 3), np.uint8),
+                "image_hw": np.asarray([8, 8], np.int32),
+                "orig_hw": np.asarray([8, 8], np.int32),
+                "proposals": np.zeros((4, 4), np.float32),
+                "proposal_mask": np.ones((4,), bool),
+                "objectness": np.zeros((4,), np.float32),
+                "labels": np.zeros((3,), np.float32),
+                "image_id": np.asarray(i, np.int32),
+                "gt_boxes": np.zeros((2, 4), np.float32),
+                "gt_classes": np.zeros((2,), np.int32),
+                "gt_valid": np.zeros((2,), bool),
+                "_bucket": 8} for i in range(2)]
+    batch = _collate(samples)
+    for name in ("image", "proposals", "proposal_mask", "labels"):
+        leaf = getattr(batch, name)
+        assert type(leaf) is np.ndarray, (name, type(leaf))
+    assert batch.image.shape == (2, 8, 8, 3)
